@@ -1,38 +1,467 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is a Spark-first implementation of one operator
+from SURVEY.md §2 (the Metarank feature inventory re-expressed over the
+driver's event/document/embedding tables); ``oracle_sql()`` carries the
+DuckDB-checkable ANSI-SQL statement with identical column names/semantics.
+
+All time math is epoch-millis arithmetic (no timezone-dependent date
+functions) so Spark and DuckDB agree bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metarank_spark import operators as ops
+from metarank_spark.plans import asof_join, sessionize
+from metarank_spark.plans.sessionize import session_bounds
+from metarank_spark.schema import load_documents, load_embeddings, load_events
+
+MS_DAY = 86_400_000
+GAP_MS = 30 * 60 * 1000
+
+# Shared DuckDB prelude: canonical event stream (mirrors schema.load_events)
+EV = (
+    "WITH ev AS (SELECT event_id::BIGINT AS event_id, epoch_ms(ts) AS ts_ms, "
+    "user_id::BIGINT AS user_id, event_type, value::DOUBLE AS value FROM events)"
+)
+
+KEYS = "event_id, user_id, ts_ms"
+W_ROWS = (
+    "PARTITION BY user_id ORDER BY ts_ms, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+W_ROWS_STRICT = (
+    "PARTITION BY user_id ORDER BY ts_ms, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir)
+
+
+def _keys(df: DataFrame, *extra: str) -> DataFrame:
+    return df.select("event_id", "user_id", "ts_ms", *extra)
+
+
+# --------------------------------------------------------------------------
+# feature-engine queries over the event stream
+# --------------------------------------------------------------------------
+
+def q_interaction_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Lifetime interaction count (InteractionCountFeature.scala:33-59)."""
+    return _keys(ops.interaction_count(_ev(spark, sf), "click", out="clicks_cum"), "clicks_cum")
+
+
+def q_last_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """ScalarFeature / number extractor: as-of last purchase value
+    (NumberFeature.scala:37-94, MemScalarFeature.scala:14-17)."""
+    df = ops.last_scalar(
+        _ev(spark, sf),
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        out="last_purchase",
+    )
+    return _keys(df, "last_purchase")
+
+
+def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead within the entity's time-sorted stream."""
+    df = ops.lag_lead(_ev(spark, sf))
+    return _keys(df, "value_lag1", "value_lead1", "ts_delta_ms")
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization, 30-min event-time gap
+    (TrainBuffer.scala:33-148, CoreConfig.scala:22)."""
+    return _keys(sessionize(_ev(spark, sf), gap_ms=GAP_MS), "session_idx")
+
+
+def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session bounds/counts on top of gap sessionization."""
+    s = sessionize(_ev(spark, sf), gap_ms=GAP_MS)
+    return session_bounds(s)
+
+
+def q_window_count(spark: SparkSession, sf: str) -> DataFrame:
+    """window_count periods=[7], 24h buckets
+    (WindowInteractionCountFeature.scala:25-46)."""
+    return _keys(ops.window_count(_ev(spark, sf), "click", [7]), "wcnt7")
+
+
+def q_window_count_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """window_count periods=[1,7,30] — the multi-period vector, one column
+    per period (vector assembled per MValue.VectorValue)."""
+    return _keys(
+        ops.window_count(_ev(spark, sf), "click", [1, 7, 30]), "wcnt1", "wcnt7", "wcnt30"
+    )
+
+
+def q_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """rate = clicks/views over trailing 7+1 day buckets
+    (RateFeature.scala:313-330)."""
+    return _keys(ops.rate(_ev(spark, sf), "click", "view", [7]), "rate7")
+
+
+def q_rate_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Bayesian-normalized rate, weight=10 (RateFeature.scala:331-355):
+    (w + top)/(w*(globalBottom/globalTop) + bottom), global counts via
+    two-level agg + broadcast (GlobalScope skew handling)."""
+    df = ops.rate_normalized(_ev(spark, sf), "click", "view", [7], weight=10.0)
+    return _keys(df, "nrate7")
+
+
+def q_asof_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP: strictly-before point-in-time snapshot at every 'view'
+    (= ranking) event — zero temporal leakage. Mirrors the snapshot
+    ordering contract of MetarankFlow.scala:31-55 / TrainBuffer.scala:51-71:
+    the ranking sees no state from itself or later (even same-ts) events.
+    """
+    ev = _ev(spark, sf)
+    day = F.floor(F.col("ts_ms") / F.lit(MS_DAY))
+    w_strict = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_older = (
+        Window.partitionBy("user_id")
+        .orderBy(day)
+        .rangeBetween(Window.unboundedPreceding, -8)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    snap = ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "event_type",
+        F.coalesce(F.sum(is_click).over(w_strict), F.lit(0)).cast("long").alias("clicks_before"),
+        (
+            F.coalesce(F.sum(is_view).over(w_strict), F.lit(0))
+            - F.coalesce(F.sum(is_view).over(w_older), F.lit(0))
+        ).cast("long").alias("views7_before"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        ).over(w_strict).alias("last_purchase_before"),
+    )
+    return snap.filter(F.col("event_type") == "view").drop("event_type")
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Standalone as-of join primitive: each click ← latest strictly-earlier
+    purchase value of the same user (plans/asof.py union-merge; the scalable
+    replacement for an O(n*m) range join)."""
+    ev = _ev(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", F.col("event_id").alias("pid"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_seq="event_id",
+        right_seq="pid",
+        values=["value"],
+        strict=True,
+    )
+    return out.select("event_id", "user_id", "ts_ms", F.col("value_asof"))
+
+
+def q_bounded_list(spark: SparkSession, sf: str) -> DataFrame:
+    """BoundedListFeature: last 3 event types within 24h, newest first
+    (MemBoundedList.scala:18-37 evict-on-write semantics)."""
+    df = ops.bounded_list_string(
+        _ev(spark, sf), "event_type", count=3, duration_ms=MS_DAY, out="recent"
+    )
+    return _keys(df, "recent")
+
+
+def q_stats_window(spark: SparkSession, sf: str) -> DataFrame:
+    """StatsEstimator over a 10-sample pool of purchase values
+    (model/Feature.scala:213-234, sampleRate pinned to 1)."""
+    purchases = _ev(spark, sf).filter(F.col("event_type") == "purchase")
+    return _keys(
+        ops.stats_window(purchases, "value", pool=10),
+        "stat_min", "stat_max", "stat_avg", "stat_n",
+    )
+
+
+def q_freq_share(spark: SparkSession, sf: str) -> DataFrame:
+    """FreqEstimator with sampleRate=1: share of clicks in the last-10 pool
+    (model/Feature.scala:112-126)."""
+    return _keys(ops.freq_share(_ev(spark, sf), "click", pool=10), "freq_share")
+
+
+def q_map_feature(spark: SparkSession, sf: str) -> DataFrame:
+    """MapFeature final state: latest value per (user, event_type)
+    (MemMapFeature.scala:12-24)."""
+    return ops.map_feature_last(_ev(spark, sf))
+
+
+def q_item_age(spark: SparkSession, sf: str) -> DataFrame:
+    """item_age: seconds since the entity's last 'signup' (metadata update),
+    strictly before (ItemAgeFeature.scala:41-84)."""
+    df = ops.item_age_sec(_ev(spark, sf), F.col("event_type") == "signup", out="age_sec")
+    return _keys(df, "age_sec")
+
+
+def q_local_time(spark: SparkSession, sf: str) -> DataFrame:
+    """local_time extractor (LocalDateTimeFeature.scala): hour-of-day and
+    day-of-week as pure epoch arithmetic (0=Monday), timezone-free."""
+    ev = _ev(spark, sf)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.floor((F.col("ts_ms") % MS_DAY) / F.lit(3_600_000)).cast("long").alias("hour_utc"),
+        ((F.floor(F.col("ts_ms") / F.lit(MS_DAY)) + 3) % 7).cast("long").alias("dow"),
+    )
+
+
+def q_split_hold_last(spark: SparkSession, sf: str) -> DataFrame:
+    """SplitStrategy hold_last: each user's latest event is test, rest train
+    (main/command/train/SplitStrategy.scala:62-80)."""
+    ev = _ev(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.row_number().over(w) == 1, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def q_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """TrendingRecommender aggregate (ml/recommend/TrendingRecommender.scala:
+    39-87): per user, sum over day-ages of count(day)*decay^age*weight per
+    interaction type; 30-day window, decay 0.9, click=1.0 purchase=5.0;
+    ages anchored at the global max day."""
+    ev = _ev(spark, sf).filter(F.col("event_type").isin("click", "purchase"))
+    day = F.floor(F.col("ts_ms") / F.lit(MS_DAY))
+    ev = ev.withColumn("day", day)
+    max_day = ev.agg(F.max("day").alias("max_day"))
+    ev = ev.join(F.broadcast(max_day))
+    ev = ev.withColumn("age", F.col("max_day") - F.col("day")).filter(F.col("age") < 30)
+    weight = F.when(F.col("event_type") == "purchase", 5.0).otherwise(1.0)
+    score = F.pow(F.lit(0.9), F.col("age")) * weight
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum(score), 6).alias("trend_score"), F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {
+    "interaction_count": f"""
+        {EV}
+        SELECT {KEYS},
+          sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+            OVER ({W_ROWS})::BIGINT AS clicks_cum
+        FROM ev""",
+    "last_scalar": f"""
+        {EV}
+        SELECT {KEYS},
+          last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+            OVER ({W_ROWS}) AS last_purchase
+        FROM ev""",
+    "lag_lead": f"""
+        {EV}
+        SELECT {KEYS},
+          lag(value) OVER w AS value_lag1,
+          lead(value) OVER w AS value_lead1,
+          ts_ms - lag(ts_ms) OVER w AS ts_delta_ms
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""",
+    "sessionize": f"""
+        {EV}, g AS (
+          SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                           OR ts_ms - lag(ts_ms) OVER w > {GAP_MS} THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        SELECT {KEYS},
+          (sum(ns) OVER ({W_ROWS}) - 1)::BIGINT AS session_idx
+        FROM g""",
+    "session_stats": f"""
+        {EV}, g AS (
+          SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                           OR ts_ms - lag(ts_ms) OVER w > {GAP_MS} THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        s AS (SELECT *, (sum(ns) OVER ({W_ROWS}) - 1)::BIGINT AS session_idx FROM g)
+        SELECT user_id, session_idx,
+          min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+          max(ts_ms) - min(ts_ms) AS session_dur_ms,
+          count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, session_idx""",
+    "window_count": f"""
+        {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day FROM ev)
+        SELECT {KEYS},
+          (sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER ({W_ROWS})
+           - coalesce(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0))::BIGINT AS wcnt7
+        FROM d""",
+    "window_count_multi": f"""
+        {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
+                    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c FROM ev)
+        SELECT {KEYS},
+          (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0))::BIGINT AS wcnt1,
+          (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0))::BIGINT AS wcnt7,
+          (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 31 PRECEDING), 0))::BIGINT AS wcnt30
+        FROM d""",
+    "rate": f"""
+        {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
+                    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c,
+                    CASE WHEN event_type='view' THEN 1 ELSE 0 END AS v FROM ev)
+        SELECT {KEYS},
+          (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0))::DOUBLE
+          / nullif((sum(v) OVER ({W_ROWS}) - coalesce(sum(v) OVER (PARTITION BY user_id
+              ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)), 0)
+          AS rate7
+        FROM d""",
+    "rate_normalized": f"""
+        {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
+                    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c,
+                    CASE WHEN event_type='view' THEN 1 ELSE 0 END AS v FROM ev),
+        gb AS (SELECT day, sum(c) AS gt, sum(v) AS gbv FROM d GROUP BY day),
+        gw AS (SELECT day,
+            (sum(gt) OVER (ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - coalesce(sum(gt) OVER (ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)) AS gt7,
+            (sum(gbv) OVER (ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - coalesce(sum(gbv) OVER (ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)) AS gb7
+          FROM gb)
+        SELECT {KEYS},
+          (10.0 + (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id
+              ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
+          / (10.0 * (gb7::DOUBLE / gt7::DOUBLE)
+             + (sum(v) OVER ({W_ROWS}) - coalesce(sum(v) OVER (PARTITION BY user_id
+                 ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
+          AS nrate7
+        FROM d JOIN gw USING (day)""",
+    "asof_snapshot": f"""
+        {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
+                    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c,
+                    CASE WHEN event_type='view' THEN 1 ELSE 0 END AS v FROM ev),
+        s AS (SELECT {KEYS}, event_type,
+          coalesce(sum(c) OVER ({W_ROWS_STRICT}), 0)::BIGINT AS clicks_before,
+          (coalesce(sum(v) OVER ({W_ROWS_STRICT}), 0)
+           - coalesce(sum(v) OVER (PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0))::BIGINT AS views7_before,
+          last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+            OVER ({W_ROWS_STRICT}) AS last_purchase_before
+        FROM d)
+        SELECT {KEYS}, clicks_before, views7_before, last_purchase_before
+        FROM s WHERE event_type='view'""",
+    "asof_join": f"""
+        {EV}
+        SELECT c.event_id, c.user_id, c.ts_ms,
+          (SELECT p.value FROM ev p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND (p.ts_ms < c.ts_ms OR (p.ts_ms = c.ts_ms AND p.event_id < c.event_id))
+            ORDER BY p.ts_ms DESC, p.event_id DESC LIMIT 1) AS value_asof
+        FROM ev c WHERE c.event_type = 'click'""",
+    "bounded_list": f"""
+        {EV}
+        SELECT {KEYS},
+          concat_ws(',', event_type,
+            CASE WHEN lag(ts_ms,1) OVER w >= ts_ms - {MS_DAY} THEN lag(event_type,1) OVER w END,
+            CASE WHEN lag(ts_ms,2) OVER w >= ts_ms - {MS_DAY} THEN lag(event_type,2) OVER w END
+          ) AS recent
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""",
+    "stats_window": f"""
+        {EV}, p AS (SELECT * FROM ev WHERE event_type='purchase')
+        SELECT {KEYS},
+          min(value) OVER w AS stat_min,
+          max(value) OVER w AS stat_max,
+          round(avg(value) OVER w, 6) AS stat_avg,
+          (count(value) OVER w)::BIGINT AS stat_n
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "freq_share": f"""
+        {EV}
+        SELECT {KEYS},
+          (sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w)::DOUBLE
+            / (count(*) OVER w) AS freq_share
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "map_feature": f"""
+        {EV}
+        SELECT user_id, event_type AS map_key, value AS last_value, ts_ms AS last_ts_ms
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts_ms DESC, event_id DESC) AS rn FROM ev)
+        WHERE rn = 1""",
+    "item_age": f"""
+        {EV}
+        SELECT {KEYS},
+          (ts_ms - last_value(CASE WHEN event_type='signup' THEN ts_ms END IGNORE NULLS)
+            OVER ({W_ROWS_STRICT})) / 1000.0 AS age_sec
+        FROM ev""",
+    "local_time": f"""
+        {EV}
+        SELECT {KEYS},
+          floor((ts_ms % {MS_DAY}) / 3600000)::BIGINT AS hour_utc,
+          ((floor(ts_ms / {MS_DAY})::BIGINT + 3) % 7)::BIGINT AS dow
+        FROM ev""",
+    "split_hold_last": f"""
+        {EV}
+        SELECT event_id, user_id,
+          CASE WHEN row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_ms DESC, event_id DESC) = 1
+               THEN 'test' ELSE 'train' END AS split
+        FROM ev""",
+    "trending": f"""
+        {EV}, d AS (
+          SELECT user_id, event_type, floor(ts_ms/{MS_DAY})::BIGINT AS day
+          FROM ev WHERE event_type IN ('click','purchase')),
+        m AS (SELECT max(day) AS max_day FROM d)
+        SELECT user_id,
+          round(sum(pow(0.9, (max_day - day)) *
+                    CASE WHEN event_type='purchase' THEN 5.0 ELSE 1.0 END), 6) AS trend_score,
+          count(*)::BIGINT AS n_inter
+        FROM d, m WHERE max_day - day < 30
+        GROUP BY user_id""",
+}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "interaction_count": q_interaction_count,
+    "last_scalar": q_last_scalar,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "window_count": q_window_count,
+    "window_count_multi": q_window_count_multi,
+    "rate": q_rate,
+    "rate_normalized": q_rate_normalized,
+    "asof_snapshot": q_asof_snapshot,
+    "asof_join": q_asof_join,
+    "bounded_list": q_bounded_list,
+    "stats_window": q_stats_window,
+    "freq_share": q_freq_share,
+    "map_feature": q_map_feature,
+    "item_age": q_item_age,
+    "local_time": q_local_time,
+    "split_hold_last": q_split_hold_last,
+    "trending": q_trending,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: zero-leakage point-in-time snapshot at sf0.001."""
+    return q_asof_snapshot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)
