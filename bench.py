@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with total seconds + per-query seconds + derived rows/sec.
+
+Queries are fully materialized via the noop sink (whole plan executes,
+nothing is collected to the driver). Usage:
+
+    SPARK_GRAFT_CPUS=32 python bench.py
+    python bench.py --cpus 8 --sf-dir /root/testdata/sf0.01  # scaling runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "asof_snapshot",
+    "window_count_multi",
+    "rate_normalized",
+    "sessionize",
+    "interaction_count",
+    "asof_join",
+    "bounded_list",
+    "trending",
+]
+
+
+def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+    from metarank_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark("metarank-spark-bench", parallelism=cpus, shuffle_partitions=cpus)
+    qs = em.queries()
+    names = [n for n in (names or HEADLINE) if n in qs]
+
+    # warmup: small full pipeline to JIT/codegen before timing
+    qs[names[0]](spark, sf_dir).limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    total_rows = 0
+    t_all = time.perf_counter()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        total_rows += df.count()  # not timed: row accounting for rows/sec
+    total = time.perf_counter() - t_all
+
+    # north metric: entity×timestamp feature rows emitted per second of
+    # timed query execution (sum of per-query times, excluding the count
+    # passes)
+    timed = sum(per_query.values())
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "feature_rows_per_sec",
+        "value": round(timed, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": total_rows,
+        "rows_per_sec": round(total_rows / timed, 1) if timed > 0 else None,
+        "cpus": cpus,
+        "wall_total_sec": round(total, 3),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+    print(json.dumps(run(args.sf_dir, args.cpus, args.queries)))
