@@ -1,0 +1,484 @@
+"""FeatureEngine — config-driven Metarank feature pipeline on Spark.
+
+Semantics contract (golden-tested in tests/test_engine_goldens.py against
+fixtures transcribed from the reference's own unit tests):
+
+- Every feature is an *event-sourced series*: writes happen at events, and
+  the value emitted at a write includes that write
+  (flow/FeatureValueFlow.scala:29-42: commit precedes computeValue).
+- A ranking's snapshot reads each feature as-of STRICTLY BEFORE the ranking
+  (ts, seq) (flow/MetarankFlow.scala:31-55, flow/TrainBuffer.scala:51-71) —
+  zero temporal leakage, same-timestamp interactions excluded
+  (e2e proof: RanklensTest.scala:95-100).
+- Key reduction: because state changes only at writes, the value read at
+  any time T equals the value emitted at the last write < T. This turns
+  every "anchor-at-last-bucket" periodic read (model/Feature.scala:142-161)
+  into a plain as-of join against the write-time series — no custom state
+  store, no Python kernel, pure Catalyst.
+
+Plan shape per feature: one window pass over the write series (shuffle on
+the scope entity) + one union-merge as-of join to the rankings (shuffle on
+the same entity). All value math is JVM-side (arrays + higher-order
+functions); missing values surface as NaN exactly like MValue
+(model/MValue.scala:24-61), except interaction_count which reads 0.0 when
+missing (InteractionCountFeature.scala:55-58) and interacted_with which
+scores 0.0 (InteractedWithFeature.scala:133-164 fold starts at 0.0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metarank_spark.plans.asof import asof_join
+from metarank_spark.plans.windows import bucketed_window_count
+
+DAY_MS = 86_400_000
+GLOBAL_ENTITY = "$global"
+ORDER = ("ts_ms", "seq")
+
+
+# --------------------------------------------------------------------------
+# feature configs (YAML-equivalent; registry model/FeatureSchema.scala:44-75)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WindowCount:
+    """window_count (WindowInteractionCountFeature.scala:22-66)."""
+    name: str
+    interaction: str
+    periods: tuple[int, ...]
+    bucket_ms: int = DAY_MS
+    scope: str = "item"
+
+
+@dataclass(frozen=True)
+class InteractionCount:
+    """interaction_count (InteractionCountFeature.scala)."""
+    name: str
+    interaction: str
+    scope: str = "item"
+
+
+@dataclass(frozen=True)
+class Rate:
+    """rate, optionally normalized (RateFeature.scala:51-355)."""
+    name: str
+    top: str
+    bottom: str
+    periods: tuple[int, ...]
+    bucket_ms: int = DAY_MS
+    scope: str = "item"
+    normalize_weight: float | None = None
+
+
+@dataclass(frozen=True)
+class Number:
+    """number (NumberFeature.scala): last numeric field value."""
+    name: str
+    field: str
+    source: str = "item"
+
+
+@dataclass(frozen=True)
+class Boolean:
+    """boolean (BooleanFeature.scala): last boolean field as 0/1."""
+    name: str
+    field: str
+    source: str = "item"
+
+
+@dataclass(frozen=True)
+class StringEncode:
+    """string (StringFeature.scala:52-138): index (0=missing, i+1) or
+    onehot encode of the last string field value (first list element)."""
+    name: str
+    field: str
+    values: tuple[str, ...]
+    encode: str = "index"  # index | onehot
+    source: str = "item"
+
+
+@dataclass(frozen=True)
+class ItemAge:
+    """item_age (ItemAgeFeature.scala:41-84): (ranking.ts - last item
+    update ts)/1000 seconds."""
+    name: str
+
+
+@dataclass(frozen=True)
+class WordCount:
+    """word_count (WordCountFeature.scala:47-74): whitespace token count of
+    the last string field value."""
+    name: str
+    field: str
+    source: str = "item"
+
+
+@dataclass(frozen=True)
+class Relevancy:
+    """relevancy (RelevancyFeature.scala:24-48): per-item ranking field."""
+    name: str
+
+
+@dataclass(frozen=True)
+class Position:
+    """position (PositionFeature.scala:30-35), training mode: item index."""
+    name: str
+
+
+@dataclass(frozen=True)
+class InteractedWith:
+    """interacted_with (InteractedWithFeature.scala:44-164)."""
+    name: str
+    interaction: str
+    fields: tuple[str, ...]
+    scope: str = "session"
+    count: int = 100
+    duration_ms: int = DAY_MS
+
+
+FeatureConfig = (
+    WindowCount | InteractionCount | Rate | Number | Boolean | StringEncode
+    | ItemAge | WordCount | Relevancy | Position | InteractedWith
+)
+
+
+# --------------------------------------------------------------------------
+# engine
+# --------------------------------------------------------------------------
+
+def _entity_col(scope: str) -> Column:
+    """Scope → state-keying entity value (model/Scope.scala:24-65)."""
+    if scope == "item":
+        return F.col("item_id")
+    if scope == "user":
+        return F.col("user_id")
+    if scope == "session":
+        return F.col("session_id")
+    if scope == "global":
+        return F.lit(GLOBAL_ENTITY)
+    raise ValueError(f"unknown scope {scope}")
+
+
+def _nan_array(dim: int) -> Column:
+    return F.array(*[F.lit(float("nan")) for _ in range(dim)])
+
+
+class FeatureEngine:
+    """Computes per-(ranking, item) feature values (the ItemValue matrix,
+    model/ItemValue.scala:25-72) from a canonical event table."""
+
+    def __init__(self, features: list[FeatureConfig]):
+        self.features = features
+
+    # ---------------- write-time series builders ----------------
+
+    def _counter_series(self, events: DataFrame, interaction: str, scope: str) -> DataFrame:
+        """CounterFeature write series: running count at each matching
+        interaction (MemCounter.scala:13-22)."""
+        w = events.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == interaction)
+        ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+        run = (
+            Window.partitionBy("entity")
+            .orderBy(*ORDER)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return w.select("entity", "ts_ms", "seq", F.count(F.lit(1)).over(run).alias("cnt"))
+
+    def _periodic_series(
+        self, events: DataFrame, interaction: str, scope: str,
+        periods: tuple[int, ...], bucket_ms: int,
+    ) -> DataFrame:
+        """PeriodicCounter write series: at each write, the full per-period
+        vector anchored at the write's own bucket — which IS the last bucket
+        present in the state at that moment (model/Feature.scala:142-161)."""
+        w = events.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == interaction)
+        ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+        bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
+        cols = [
+            bucketed_window_count(F.lit(True), "entity", bucket, p, *ORDER).alias(f"_p{p}")
+            for p in periods
+        ]
+        w = w.select("entity", "ts_ms", "seq", *cols)
+        return w.select(
+            "entity", "ts_ms", "seq",
+            F.array(*[F.col(f"_p{p}") for p in periods]).alias("vec"),
+        )
+
+    def _scalar_series(
+        self, events: DataFrame, source: str, value: Column, extra_filter: Column | None = None,
+    ) -> DataFrame:
+        """ScalarFeature write series: the written value itself; as-of join
+        naturally reads last-write-wins (MemScalarFeature.scala:14-17)."""
+        ent = {"item": "item_id", "user": "user_id"}[source]
+        df = events.filter(F.col("event_type") == source)
+        if extra_filter is not None:
+            df = df.filter(extra_filter)
+        return df.select(F.col(ent).alias("entity"), "ts_ms", "seq", value.alias("val")).filter(
+            F.col("val").isNotNull()
+        )
+
+    def _bounded_list_series(self, events: DataFrame, cfg: InteractedWith) -> DataFrame:
+        """BoundedList write series: at each matching interaction, the
+        current list of visited item ids, newest first, time-filtered and
+        truncated at write time (MemBoundedList.scala:18-37)."""
+        w = events.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == cfg.interaction)
+        ).select(_entity_col(cfg.scope).alias("entity"), "ts_ms", "seq", "item_id")
+        frame = (
+            Window.partitionBy("entity")
+            .orderBy(*ORDER)
+            .rowsBetween(-(cfg.count - 1), Window.currentRow)
+        )
+        lst = F.collect_list(F.struct(F.col("ts_ms").alias("ts"), F.col("item_id").alias("v"))).over(frame)
+        lst = F.reverse(lst)  # newest first
+        cutoff = F.col("ts_ms") - F.lit(cfg.duration_ms)
+        kept = F.filter(lst, lambda x: x["ts"] >= cutoff)
+        return w.select(
+            "entity", "ts_ms", "seq",
+            F.transform(kept, lambda x: x["v"]).alias("visited"),
+        )
+
+    def _field_series(self, events: DataFrame, field: str) -> DataFrame:
+        """Item string-list field series (InteractedWithFeature writes,
+        :68-87: Put of SStringList per item event carrying the field)."""
+        return (
+            events.filter(
+                (F.col("event_type") == "item")
+                & F.col("str_fields").getItem(field).isNotNull()
+            )
+            .select(
+                F.col("item_id").alias("entity"), "ts_ms", "seq",
+                F.col("str_fields").getItem(field).alias("vals"),
+            )
+        )
+
+    # ---------------- snapshot assembly ----------------
+
+    def ranking_values(self, events: DataFrame) -> DataFrame:
+        """One row per (ranking_id, position, item_id) with one column per
+        feature — the offline-training feature matrix (ClickthroughValues
+        parity surface, model/TrainValues.scala:13-15)."""
+        rankings = events.filter(F.col("event_type") == "ranking").select(
+            F.col("event_id").alias("ranking_id"),
+            "ts_ms", "seq", "user_id", "session_id", "items",
+        )
+        base = rankings.select(
+            "ranking_id", "ts_ms", "seq", "user_id", "session_id",
+            F.posexplode("items").alias("position", "item"),
+        ).select(
+            "ranking_id", "ts_ms", "seq", "user_id", "session_id", "position",
+            F.col("item.id").alias("item_id"),
+            F.col("item.relevancy").alias("relevancy"),
+        )
+        out = base
+        for cfg in self.features:
+            out = self._attach(out, rankings, events, cfg)
+        return out.drop("relevancy") if not any(
+            isinstance(c, Relevancy) for c in self.features
+        ) else out
+
+    # dispatch
+    def _attach(self, base, rankings, events, cfg) -> DataFrame:
+        m = {
+            WindowCount: self._attach_window_count,
+            InteractionCount: self._attach_interaction_count,
+            Rate: self._attach_rate,
+            Number: self._attach_scalar,
+            Boolean: self._attach_scalar,
+            WordCount: self._attach_scalar,
+            StringEncode: self._attach_string,
+            ItemAge: self._attach_item_age,
+            Relevancy: self._attach_relevancy,
+            Position: self._attach_position,
+            InteractedWith: self._attach_interacted_with,
+        }
+        return m[type(cfg)](base, rankings, events, cfg)
+
+    def _asof_to_base(self, base, rankings, series, scope, values, suffix) -> DataFrame:
+        """Strict as-of join of the feature series to the reading side:
+        item scope reads per candidate item, user/session/global at the
+        ranking level then fan out to items."""
+        if scope == "item":
+            left = base.select("ranking_id", "position", "item_id", "ts_ms", "seq")
+            joined = asof_join(
+                left, series, on="item_id",
+                left_seq="seq", right_seq="seq", values=values,
+                strict=True, suffix=suffix,
+            ).drop("ts_ms", "seq", "item_id")
+            left_entity = series.sparkSession  # noqa: F841  (readability)
+            return base.join(joined, ["ranking_id", "position"], "left")
+        ent = {"user": "user_id", "session": "session_id", "global": None}[scope]
+        if ent is None:
+            left = rankings.select(
+                "ranking_id", "ts_ms", "seq", F.lit(GLOBAL_ENTITY).alias("entity")
+            )
+        else:
+            left = rankings.select("ranking_id", "ts_ms", "seq", F.col(ent).alias("entity"))
+        joined = asof_join(
+            left, series, on="entity",
+            left_seq="seq", right_seq="seq", values=values,
+            strict=True, suffix=suffix,
+        ).drop("ts_ms", "seq", "entity")
+        return base.join(joined, "ranking_id", "left")
+
+    def _rename_series(self, series: DataFrame, scope: str) -> DataFrame:
+        if scope == "item":
+            return series.withColumnRenamed("entity", "item_id")
+        return series
+
+    def _attach_window_count(self, base, rankings, events, cfg: WindowCount):
+        s = self._rename_series(
+            self._periodic_series(events, cfg.interaction, cfg.scope, cfg.periods, cfg.bucket_ms),
+            cfg.scope,
+        )
+        out = self._asof_to_base(base, rankings, s, cfg.scope, ["vec"], f"_{cfg.name}")
+        raw = F.col(f"vec_{cfg.name}")
+        val = F.when(raw.isNull(), _nan_array(len(cfg.periods))).otherwise(
+            F.transform(raw, lambda x: x.cast("double"))
+        )
+        return out.withColumn(cfg.name, val).drop(f"vec_{cfg.name}")
+
+    def _attach_interaction_count(self, base, rankings, events, cfg: InteractionCount):
+        s = self._rename_series(self._counter_series(events, cfg.interaction, cfg.scope), cfg.scope)
+        out = self._asof_to_base(base, rankings, s, cfg.scope, ["cnt"], f"_{cfg.name}")
+        # missing state reads as 0.0 (InteractionCountFeature.scala:55-58)
+        return out.withColumn(
+            cfg.name, F.coalesce(F.col(f"cnt_{cfg.name}").cast("double"), F.lit(0.0))
+        ).drop(f"cnt_{cfg.name}")
+
+    def _attach_rate(self, base, rankings, events, cfg: Rate):
+        dim = len(cfg.periods)
+        top_s = self._rename_series(
+            self._periodic_series(events, cfg.top, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
+        )
+        bot_s = self._rename_series(
+            self._periodic_series(events, cfg.bottom, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
+        )
+        out = self._asof_to_base(base, rankings, top_s, cfg.scope, ["vec"], f"_{cfg.name}_t")
+        out = self._asof_to_base(out, rankings, bot_s, cfg.scope, ["vec"], f"_{cfg.name}_b")
+        t, b = F.col(f"vec_{cfg.name}_t"), F.col(f"vec_{cfg.name}_b")
+        if cfg.normalize_weight is None:
+            # top/bottom elementwise (RateFeature.scala:313-330)
+            val = F.when(
+                t.isNull() | b.isNull(), _nan_array(dim)
+            ).otherwise(F.zip_with(t, b, lambda x, y: x / y.cast("double")))
+            return out.withColumn(cfg.name, val).drop(f"vec_{cfg.name}_t", f"vec_{cfg.name}_b")
+        # normalized: (w + top)/(w*(gBot/gTop) + bottom) (RateFeature.scala:331-355)
+        gt_s = self._periodic_series(events, cfg.top, "global", cfg.periods, cfg.bucket_ms)
+        gb_s = self._periodic_series(events, cfg.bottom, "global", cfg.periods, cfg.bucket_ms)
+        out = self._asof_to_base(out, rankings, gt_s, "global", ["vec"], f"_{cfg.name}_gt")
+        out = self._asof_to_base(out, rankings, gb_s, "global", ["vec"], f"_{cfg.name}_gb")
+        gt, gb = F.col(f"vec_{cfg.name}_gt"), F.col(f"vec_{cfg.name}_gb")
+        w = F.lit(float(cfg.normalize_weight))
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        formula = F.transform(
+            idx,
+            lambda i: (w + F.get(t, i)) / (w * (F.get(gb, i) / F.get(gt, i).cast("double")) + F.get(b, i)),
+        )
+        val = F.when(t.isNull() | b.isNull() | gt.isNull() | gb.isNull(), _nan_array(dim)).otherwise(formula)
+        return out.withColumn(cfg.name, val).drop(
+            f"vec_{cfg.name}_t", f"vec_{cfg.name}_b", f"vec_{cfg.name}_gt", f"vec_{cfg.name}_gb"
+        )
+
+    def _attach_scalar(self, base, rankings, events, cfg):
+        if isinstance(cfg, Number):
+            value = F.col("num_fields").getItem(cfg.field)
+        elif isinstance(cfg, Boolean):
+            value = F.when(
+                F.col("str_fields").getItem(cfg.field).getItem(0) == "true", 1.0
+            ).when(F.col("str_fields").getItem(cfg.field).getItem(0) == "false", 0.0)
+        else:  # WordCount: token count stored at write (WordCountFeature.scala:47,74)
+            value = F.size(
+                F.split(F.col("str_fields").getItem(cfg.field).getItem(0), r"\s+")
+            ).cast("double")
+        s = self._rename_series(self._scalar_series(events, cfg.source, value), cfg.source)
+        scope = cfg.source
+        out = self._asof_to_base(base, rankings, s, scope, ["val"], f"_{cfg.name}")
+        return out.withColumn(
+            cfg.name, F.coalesce(F.col(f"val_{cfg.name}"), F.lit(float("nan")))
+        ).drop(f"val_{cfg.name}")
+
+    def _attach_string(self, base, rankings, events, cfg: StringEncode):
+        value = F.col("str_fields").getItem(cfg.field).getItem(0)
+        s = self._rename_series(self._scalar_series(events, cfg.source, value), cfg.source)
+        out = self._asof_to_base(base, rankings, s, cfg.source, ["val"], f"_{cfg.name}")
+        raw = F.col(f"val_{cfg.name}")
+        if cfg.encode == "index":
+            # 0 = missing, i+1 otherwise (StringFeature.scala:119-138)
+            mapping = F.array(*[F.lit(v) for v in cfg.values])
+            val = F.coalesce(F.array_position(mapping, raw), F.lit(0)).cast("double")
+        else:
+            val = F.array(*[
+                F.when(raw == v, 1.0).otherwise(0.0) for v in cfg.values
+            ])
+        return out.withColumn(cfg.name, val).drop(f"val_{cfg.name}")
+
+    def _attach_item_age(self, base, rankings, events, cfg: ItemAge):
+        s = self._rename_series(
+            self._scalar_series(events, "item", F.col("ts_ms").cast("double")), "item"
+        )
+        out = self._asof_to_base(base, rankings, s, "item", ["val"], f"_{cfg.name}")
+        age = (F.col("ts_ms") - F.col(f"val_{cfg.name}")) / 1000.0
+        return out.withColumn(
+            cfg.name, F.coalesce(age, F.lit(float("nan")))
+        ).drop(f"val_{cfg.name}")
+
+    def _attach_relevancy(self, base, rankings, events, cfg: Relevancy):
+        return base.withColumn(cfg.name, F.col("relevancy"))
+
+    def _attach_position(self, base, rankings, events, cfg: Position):
+        return base.withColumn(cfg.name, F.col("position").cast("double"))
+
+    def _attach_interacted_with(self, base, rankings, events, cfg: InteractedWith):
+        visited_s = self._bounded_list_series(events, cfg)
+        out = self._asof_to_base(base, rankings, visited_s, cfg.scope, ["visited"], f"_{cfg.name}")
+        visited = F.coalesce(F.col(f"visited_{cfg.name}"), F.array().cast("array<string>"))
+
+        score_cols = []
+        for fld in cfg.fields:
+            fs = self._rename_series(self._field_series(events, fld), "item")
+            # candidate item's current field values (as-of the ranking)
+            out = self._asof_to_base(out, rankings, fs, "item", ["vals"], f"_{cfg.name}_{fld}_cand")
+
+            # visited items' current field values → per-ranking flattened multiset
+            vis = out.select("ranking_id", "ts_ms", "seq", visited.alias("__visited")).dropDuplicates(
+                ["ranking_id"]
+            )
+            vis_ex = vis.select(
+                "ranking_id", "ts_ms", "seq", F.explode_outer("__visited").alias("item_id")
+            )
+            vis_j = asof_join(
+                vis_ex, fs, on="item_id",
+                left_seq="seq", right_seq="seq", values=["vals"],
+                strict=True, suffix="_vf",
+            )
+            vis_flat = vis_j.groupBy("ranking_id").agg(
+                F.flatten(F.collect_list(F.col("vals_vf"))).alias(f"__vflat_{fld}")
+            )
+            out = out.join(vis_flat, "ranking_id", "left")
+            vflat = F.coalesce(F.col(f"__vflat_{fld}"), F.array().cast("array<string>"))
+            cand = F.coalesce(
+                F.col(f"vals_{cfg.name}_{fld}_cand"), F.array().cast("array<string>")
+            )
+            # score: Σ over candidate's values of multiset count among visited
+            # (InteractedWithFeature.scala:133-164)
+            score = F.aggregate(
+                cand,
+                F.lit(0.0),
+                lambda acc, v: acc + F.size(F.filter(vflat, lambda x: x == v)),
+            )
+            out = out.withColumn(f"__score_{cfg.name}_{fld}", score)
+            score_cols.append(f"__score_{cfg.name}_{fld}")
+            out = out.drop(f"vals_{cfg.name}_{fld}_cand", f"__vflat_{fld}")
+
+        out = out.withColumn(cfg.name, F.array(*[F.col(c) for c in score_cols]))
+        return out.drop(f"visited_{cfg.name}", *score_cols)

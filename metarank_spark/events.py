@@ -1,0 +1,109 @@
+"""The canonical Metarank event table (T1 in FIXTURES.md).
+
+One long DataFrame holding all four reference event types
+(model/Event.scala:14-62) discriminated by ``event_type``:
+
+    item | user | ranking | interaction
+
+with an explicit total order ``(ts_ms, seq)`` — the reference requires a
+time-sorted stream and preserves file order for equal timestamps
+(flow/CheckOrderingPipe.scala:12-27, main/Sort.scala:23-151); ``seq`` makes
+that order a first-class column so distributed sorts reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RANK_ITEM = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("relevancy", T.DoubleType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("item_id", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("ranking_id", T.StringType()),
+        T.StructField("interaction_type", T.StringType()),
+        T.StructField("items", T.ArrayType(RANK_ITEM)),
+        T.StructField("str_fields", T.MapType(T.StringType(), T.ArrayType(T.StringType()))),
+        T.StructField("num_fields", T.MapType(T.StringType(), T.DoubleType())),
+    ]
+)
+
+_COUNTER = 0
+
+
+def _next_id() -> str:
+    global _COUNTER
+    _COUNTER += 1
+    return f"e{_COUNTER}"
+
+
+def item_event(item, ts_ms, seq, str_fields=None, num_fields=None, id=None):
+    """ItemEvent (Event.scala:25-30): item metadata upsert."""
+    return dict(
+        event_id=id or _next_id(), event_type="item", ts_ms=ts_ms, seq=seq,
+        item_id=item, user_id=None, session_id=None, ranking_id=None,
+        interaction_type=None, items=None,
+        str_fields=str_fields or {}, num_fields=num_fields or {},
+    )
+
+
+def user_event(user, ts_ms, seq, str_fields=None, num_fields=None, id=None):
+    """UserEvent (Event.scala:32-37)."""
+    return dict(
+        event_id=id or _next_id(), event_type="user", ts_ms=ts_ms, seq=seq,
+        item_id=None, user_id=user, session_id=None, ranking_id=None,
+        interaction_type=None, items=None,
+        str_fields=str_fields or {}, num_fields=num_fields or {},
+    )
+
+
+def ranking_event(id, items, ts_ms, seq, user=None, session=None, str_fields=None, num_fields=None):
+    """RankingEvent (Event.scala:44-51): the impression list / query."""
+    return dict(
+        event_id=id, event_type="ranking", ts_ms=ts_ms, seq=seq,
+        item_id=None, user_id=user, session_id=session, ranking_id=None,
+        interaction_type=None,
+        items=[{"id": i, "relevancy": 1.0} if isinstance(i, str) else i for i in items],
+        str_fields=str_fields or {}, num_fields=num_fields or {},
+    )
+
+
+def interaction_event(item, type, ts_ms, seq, user=None, session=None, ranking=None,
+                      str_fields=None, num_fields=None, id=None):
+    """InteractionEvent (Event.scala:53-62)."""
+    return dict(
+        event_id=id or _next_id(), event_type="interaction", ts_ms=ts_ms, seq=seq,
+        item_id=item, user_id=user, session_id=session, ranking_id=ranking,
+        interaction_type=type, items=None,
+        str_fields=str_fields or {}, num_fields=num_fields or {},
+    )
+
+
+def events_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+
+
+def check_ordering(events: DataFrame) -> DataFrame:
+    """CheckOrderingPipe analog (flow/CheckOrderingPipe.scala:12-27): assert
+    the (ts_ms, seq) order is a valid total order — seq strictly increasing
+    implies ts nondecreasing. Returns violating rows (empty = sorted)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("seq")
+    prev_ts = F.lag("ts_ms").over(w)
+    return events.select("event_id", "ts_ms", "seq", prev_ts.alias("prev_ts")).filter(
+        F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts"))
+    )

@@ -1,0 +1,127 @@
+"""Clickthrough assembly: ranking↔interaction join, impression injection,
+and the training-matrix export — the batch restatement of TrainBuffer +
+ImpressionInject + ClickthroughQuery.
+
+Reference semantics:
+- A clickthrough = a ranking plus the interactions foreign-keyed to it
+  (flow/TrainBuffer.scala:80-125); clickthroughs with no interactions are
+  not flushed to the train store (TrainBuffer.scala:127-137 filter).
+- ImpressionInject (flow/ImpressionInject.scala:16-41): for each flushed
+  clickthrough, emit synthetic `impression` InteractionEvents for items
+  [0 .. max interacted position], carrying the RANKING's id, ts, user and
+  session.
+- Ordering: the reference commits injected impressions when the session
+  buffer flushes (up to maxSessionLength after the ranking) while stamping
+  them with the ranking's ts — a deliberate bounded out-of-order write
+  (SURVEY.md §3.1 item 3). This batch engine orders them deterministically
+  right after the clickthrough's last real interaction (commit-at-
+  completion). Values (ts/id/items) match the reference exactly; only the
+  visibility *delay* within a still-open session is earlier. Documented
+  deviation, revisit if parity tests demand commit-at-expiry.
+
+Plan shape: one equi-join interactions→rankings on ranking_id (broadcastable
+when rankings-per-partition are small; AQE picks the strategy), one groupBy
+per ranking, one posexplode. No windows, no skew beyond ranking_id
+cardinality (bounded: items-per-ranking ≤ ~100s).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metarank_spark.events import EVENT_SCHEMA
+
+
+def clickthroughs(events: DataFrame) -> DataFrame:
+    """One row per ranking with its attached interactions
+    (Clickthrough, model/Clickthrough.scala:9-21). Only rankings with ≥1
+    interaction (TrainBuffer.scala:127-137)."""
+    rankings = events.filter(F.col("event_type") == "ranking").select(
+        F.col("event_id").alias("ranking_id"),
+        "ts_ms", "seq", "user_id", "session_id", "items",
+    )
+    ints = events.filter(
+        (F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull()
+    ).select(
+        "ranking_id",
+        F.struct(
+            F.col("item_id").alias("item"),
+            F.col("interaction_type").alias("type"),
+            F.col("ts_ms").alias("ts"),
+            F.col("seq").alias("seq"),
+        ).alias("inter"),
+    )
+    agg = ints.groupBy("ranking_id").agg(
+        F.sort_array(F.collect_list("inter")).alias("interactions"),
+        F.max(F.col("inter.seq")).alias("last_int_seq"),
+    )
+    return rankings.join(agg, "ranking_id", "inner")
+
+
+def inject_impressions(events: DataFrame) -> DataFrame:
+    """Append synthetic impression interactions per ImpressionInject
+    semantics and return the re-sequenced event stream (original seq -> 2n,
+    injected -> 2*last_interaction_seq+1 so they sort immediately after the
+    clickthrough completes)."""
+    cts = clickthroughs(events)
+    item_ids = F.transform(F.col("items"), lambda x: x["id"])
+    # 1-based positions of interacted items present in the ranking
+    positions = F.filter(
+        F.transform(
+            F.col("interactions"), lambda i: F.array_position(item_ids, i["item"])
+        ),
+        lambda p: p > 0,
+    )
+    max_pos = F.array_max(positions)  # null if no interacted item is in the list
+    injected = (
+        cts.withColumn("max_pos", max_pos)
+        .filter(F.col("max_pos").isNotNull())
+        .select(
+            F.col("ranking_id").alias("event_id"),
+            F.lit("interaction").alias("event_type"),
+            F.col("ts_ms"),
+            (F.col("last_int_seq") * 2 + 1).alias("seq"),
+            F.explode(F.slice(item_ids, 1, F.col("max_pos"))).alias("item_id"),
+            F.col("user_id"),
+            F.col("session_id"),
+            F.col("ranking_id"),
+            F.lit("impression").alias("interaction_type"),
+            F.lit(None).cast(EVENT_SCHEMA["items"].dataType).alias("items"),
+            F.lit(None).cast(EVENT_SCHEMA["str_fields"].dataType).alias("str_fields"),
+            F.lit(None).cast(EVENT_SCHEMA["num_fields"].dataType).alias("num_fields"),
+        )
+    )
+    orig = events.withColumn("seq", F.col("seq") * 2)
+    return orig.unionByName(injected.select(orig.columns))
+
+
+def training_matrix(
+    events: DataFrame,
+    engine,
+    interaction_weights: dict[str, float] | None = None,
+    inject: bool = True,
+) -> DataFrame:
+    """ClickthroughValues-equivalent table: per (ranking, position, item)
+    feature columns + label from interaction weights
+    (flow/ClickthroughQuery.scala:9-74; labels via weights, default
+    click=1.0, non-interacted=0.0). The allclose parity surface."""
+    weights = interaction_weights or {"click": 1.0}
+    stream = inject_impressions(events) if inject else events
+    values = engine.ranking_values(stream)
+
+    ints = events.filter(
+        (F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull()
+    ).select(
+        "ranking_id",
+        F.col("item_id"),
+        F.col("interaction_type"),
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    labels = ints.groupBy("ranking_id", "item_id").agg(
+        F.max(
+            F.coalesce(wmap.getItem(F.col("interaction_type")), F.lit(0.0))
+        ).alias("label")
+    )
+    out = values.join(labels, ["ranking_id", "item_id"], "left")
+    return out.withColumn("label", F.coalesce(F.col("label"), F.lit(0.0)))

@@ -1,0 +1,78 @@
+"""Clickthrough join + impression injection goldens (transcribed from
+flow/ImpressionInjectTest + TrainBuffer semantics + FIXTURES.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metarank_spark.engine import FeatureEngine, Rate
+from metarank_spark.events import events_df, interaction_event, ranking_event
+from metarank_spark.operators.clickthrough import (
+    clickthroughs,
+    inject_impressions,
+    training_matrix,
+)
+
+T0 = 1_700_000_000_000
+
+
+def test_impression_inject_up_to_max_clicked_position(spark):
+    """Ranking [a,b,c,d,e], clicks on b and d → impressions for a,b,c,d with
+    the ranking's id and ts (ImpressionInject.scala:16-41)."""
+    rows = [
+        ranking_event("r1", ["a", "b", "c", "d", "e"], T0, 1, user="u1", session="s1"),
+        interaction_event("b", "click", T0 + 10, 2, user="u1", session="s1", ranking="r1"),
+        interaction_event("d", "click", T0 + 20, 3, user="u1", session="s1", ranking="r1"),
+    ]
+    out = inject_impressions(events_df(spark, rows))
+    imp = out.filter(F.col("interaction_type") == "impression").orderBy("item_id").collect()
+    assert [r["item_id"] for r in imp] == ["a", "b", "c", "d"]
+    assert all(r["ts_ms"] == T0 for r in imp)  # ranking's ts
+    assert all(r["event_id"] == "r1" and r["ranking_id"] == "r1" for r in imp)
+    assert all(r["seq"] == 2 * 3 + 1 for r in imp)  # after last interaction
+    # original events re-sequenced to even slots, order preserved
+    orig = out.filter(F.col("interaction_type").isNull() | (F.col("interaction_type") == "click"))
+    assert sorted(r["seq"] for r in orig.collect()) == [2, 4, 6]
+
+
+def test_interaction_on_unknown_item_ignored(spark):
+    """Interactions over items not in the ranking produce no impressions
+    (ImpressionInject.scala:19-24 warn + Nil)."""
+    rows = [
+        ranking_event("r1", ["a", "b"], T0, 1, user="u1", session="s1"),
+        interaction_event("zz", "click", T0 + 10, 2, user="u1", session="s1", ranking="r1"),
+    ]
+    out = inject_impressions(events_df(spark, rows))
+    assert out.filter(F.col("interaction_type") == "impression").count() == 0
+
+
+def test_clickthroughs_require_interactions(spark):
+    rows = [
+        ranking_event("r1", ["a"], T0, 1, user="u1", session="s1"),
+        ranking_event("r2", ["b"], T0 + 10, 2, user="u1", session="s1"),
+        interaction_event("b", "click", T0 + 20, 3, user="u1", session="s1", ranking="r2"),
+    ]
+    cts = clickthroughs(events_df(spark, rows)).collect()
+    assert [r["ranking_id"] for r in cts] == ["r2"]
+
+
+def test_training_matrix_rate_via_injected_impressions(spark):
+    """End-to-end: ranking r1 [p1,p2] click p1; a later ranking r2 of the
+    same items sees ctr computed from r1's click + injected impressions."""
+    rows = [
+        ranking_event("r1", ["p1", "p2"], T0, 1, user="u1", session="s1"),
+        interaction_event("p1", "click", T0 + 1000, 2, user="u1", session="s1", ranking="r1"),
+        ranking_event("r2", ["p1", "p2"], T0 + 100_000, 3, user="u1", session="s1"),
+        interaction_event("p2", "click", T0 + 101_000, 4, user="u1", session="s1", ranking="r2"),
+    ]
+    eng = FeatureEngine([Rate("ctr", "click", "impression", (7,))])
+    tm = training_matrix(events_df(spark, rows), eng)
+    got = {(r["ranking_id"], r["item_id"]): r.asDict() for r in tm.collect()}
+    # r2/p1: click(1)/impression(1) = 1.0 — only p1 got an injected
+    # impression (max clicked position = 1)
+    assert got[("r2", "p1")]["ctr"] == [1.0]
+    assert got[("r2", "p1")]["label"] == 0.0
+    assert got[("r2", "p2")]["label"] == 1.0
+    # r1 snapshot strictly-before: no state at all
+    import math
+    assert all(math.isnan(x) for x in got[("r1", "p1")]["ctr"])
