@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metarank_spark import operators as ops
+from metarank_spark.functions import dedup as dd
+from metarank_spark.functions import similarity as sim
+from metarank_spark.functions import text as tx
 from metarank_spark.plans import asof_join, sessionize
 from metarank_spark.plans.sessionize import session_bounds
 from metarank_spark.schema import load_documents, load_embeddings, load_events
@@ -256,6 +259,340 @@ def q_trending(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+TERM_QUERY = ("spark", "fast", "join", "query", "window")
+
+
+def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """The input_hint table: (doc_id, tokens:array<int32>, n_tok, source)
+    with the tokens column as a byte-equal passthrough payload."""
+    return tx.tokenized_sequences(spark, sf)
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    feats = tx.quality_features("text")
+    return docs.select(F.col("doc_id"), *[c.alias(n) for n, c in feats.items()])
+
+
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    return docs.select("doc_id", tx.langid_expr("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    seq = tx.tokenized_sequences(spark, sf)
+    return seq.select("doc_id", tx.fingerprint_expr(F.col("tokens")).alias("fp"), "n_tok")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    out = dd.exact_dedup(docs, F.col("text"), id_col="doc_id")
+    return out.select("doc_id", "dup_rank", "group_size", "is_dup")
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    seq = tx.tokenized_sequences(spark, sf)
+    return dd.minhash_lsh_pairs(seq, threshold=0.1)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    seq = tx.tokenized_sequences(spark, sf)
+    return seq.select("doc_id", dd.simhash_expr(F.col("tokens")).alias("simhash"))
+
+
+def q_term_match(spark: SparkSession, sf: str) -> DataFrame:
+    """field_match/term analog (matcher/TermMatcher.scala via
+    FieldMatcher.scala:15-47): distinct-word Jaccard vs a fixed query."""
+    docs = load_documents(spark, sf)
+    w = F.array_distinct(tx.words_expr("text"))
+    qarr = F.array(*[F.lit(t) for t in TERM_QUERY])
+    score = F.round(
+        F.size(F.array_intersect(w, qarr))
+        / F.nullif(F.size(F.array_union(w, qarr)).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return docs.select("doc_id", score.alias("term_score"))
+
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) vs fixed terms, df/avgdl from the corpus
+    (matcher/BM25Matcher.scala:26-40; dict build :68-85)."""
+    docs = load_documents(spark, sf)
+    words = tx.words_expr("text")
+    d = docs.select("doc_id", words.alias("w"), F.size(words).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("w", t).cast("int")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    j = d.join(F.broadcast(stats))
+    k1, b = 1.2, 0.75
+    score = F.lit(0.0)
+    for t in BM25_TERMS:
+        tf = F.size(F.filter(F.col("w"), lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        score = score + idf * (
+            tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+    return j.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+def q_ann_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_embeddings(spark, sf)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return sim.cosine_topk(emb, query, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's 8-bit hyperplane
+    signature; exact cosine only within the bucket."""
+    emb = load_embeddings(spark, sf)
+    dim = 64
+    sig = emb.select(
+        "vec_id", "embedding", sim.lsh_signature(F.col("embedding"), dim).alias("sig")
+    )
+    qsig = sig.filter(F.col("vec_id") == 0).select(
+        F.col("sig").alias("qs"), F.col("embedding").alias("q")
+    )
+    cand = sig.join(F.broadcast(qsig), F.col("sig") == F.col("qs"))
+    score = F.round(sim.cosine_expr(F.col("embedding"), F.col("q")), 6)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        cand.select("vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
+    """vector extractor reducers min/max/avg/size
+    (NumVectorFeature.scala:28,192)."""
+    emb = load_embeddings(spark, sf)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    avg = F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / F.size(e)
+    return emb.select(
+        "vec_id",
+        F.round(F.array_min(e), 6).alias("v_min"),
+        F.round(F.array_max(e), 6).alias("v_max"),
+        F.round(avg, 6).alias("v_avg"),
+        F.size(e).cast("long").alias("v_dim"),
+    )
+
+
+def q_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    seq = tx.tokenized_sequences(spark, sf)
+    return seq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+    )
+
+
+# shared DuckDB tokenizer prelude (mirrors functions/text.py bit-for-bit)
+SEQ = """WITH seq AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+    list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+      w -> CAST(list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(1, length(w)+1), i -> ascii(substr(w,i,1)))),
+             (acc,c) -> (acc*31 + c) % 1000003) AS INT)) AS tokens,
+    source, text
+  FROM documents)"""
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for j in range(dd.SIMHASH_BITS):
+        p = 2**j
+        terms.append(
+            f"(CASE WHEN 2*len(list_filter(tokens, t -> "
+            f"(((t::BIGINT*{dd.SIMHASH_MULT}) % {dd.SIMHASH_MOD}) // {p}) % 2 = 1)) "
+            f"> len(tokens) THEN {p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _minhash_sql(threshold: float) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a}*s + {b}) % {dd.HASH_MOD})) AS m{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_PARAMS)
+    )
+    n_bands = dd.MINHASH_K // dd.BAND_ROWS
+    bands = ", ".join(
+        "concat("
+        + f"'{bi}', "
+        + ", '_', ".join([f"''"] + [f"m{bi * dd.BAND_ROWS + r}" for r in range(dd.BAND_ROWS)])
+        + ")"
+        for bi in range(n_bands)
+    )
+    return f"""{SEQ},
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(tokens)-2),
+             i -> ((tokens[i+1]::BIGINT*{dd.SHINGLE_MULT} + tokens[i+2]) % {dd.HASH_MOD}
+                   * {dd.SHINGLE_MULT} + tokens[i+3]) % {dd.HASH_MOD})) AS sh
+           FROM seq WHERE len(tokens) >= 3),
+    sig AS (SELECT doc_id, sh, {sigs} FROM sh),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+    verified AS (SELECT id_a, id_b,
+        round(len(list_intersect(x.sh, y.sh))::DOUBLE
+              / nullif(len(list_distinct(list_concat(x.sh, y.sh))), 0), 6) AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def _bm25_sql() -> str:
+    k1, b = 1.2, 0.75
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    parts = []
+    for t in BM25_TERMS:
+        tf = f"len(list_filter(w, x -> x = '{t}'))::DOUBLE"
+        idf = f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        parts.append(
+            f"{idf} * ({tf} * ({k1} + 1) / ({tf} + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+        )
+    expr = " + ".join(parts)
+    return f"""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM d)
+    SELECT doc_id, round(0.0 + {expr}, 6) AS bm25 FROM d, stats"""
+
+
+_COS = (
+    "round(list_sum(list_transform(range(1, len(embedding)+1), "
+    "i -> embedding[i]::DOUBLE * q[i]::DOUBLE)) / nullif("
+    "sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(1, len(q)+1), i -> q[i]::DOUBLE * q[i]::DOUBLE))), 0), 6)"
+)
+
+
+def _lsh_sig_sql(col: str) -> str:
+    terms = []
+    for j in range(sim.LSH_PLANES):
+        dot = (
+            f"list_sum(list_transform(range(1, len({col})+1), i -> {col}[i]::DOUBLE * "
+            f"((({j}::BIGINT*2654435761 + (i-1)::BIGINT*40503) % {sim.LSH_MOD})::DOUBLE / {sim.LSH_MOD} - 0.5)))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_TEXT_ORACLES: dict[str, str] = {
+    "tokenize": f"{SEQ} SELECT doc_id, tokens, len(tokens)::INT AS n_tok, source FROM seq",
+    "doc_quality": """
+        WITH w AS (SELECT doc_id, length(text) AS n_chars,
+                     list_filter(string_split(text,' '), x -> x <> '') AS words
+                   FROM documents)
+        SELECT doc_id,
+          len(words)::BIGINT AS n_words,
+          n_chars::BIGINT AS n_chars,
+          round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                / nullif(len(words), 0), 6) AS mean_word_len,
+          round(len(list_distinct(words))::DOUBLE / nullif(len(words), 0), 6) AS type_token_ratio,
+          round(len(list_filter(words, x -> x IN ('the','a','of','and','to')))::DOUBLE
+                / nullif(len(words), 0), 6) AS stopword_ratio,
+          round(least(len(words)::DOUBLE / 100.0, 1.0) * 0.4
+                + round(len(list_distinct(words))::DOUBLE / nullif(len(words), 0), 6) * 0.4
+                + (1.0 - round(len(list_filter(words, x -> x IN ('the','a','of','and','to')))::DOUBLE
+                               / nullif(len(words), 0), 6)) * 0.2, 6) AS quality_score
+        FROM w""",
+    "langid": """
+        WITH w AS (SELECT doc_id,
+                     list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS words
+                   FROM documents),
+        s AS (SELECT doc_id,
+          len(list_intersect(words, ['the','a','and'])) AS s_en,
+          len(list_intersect(words, ['el','la','de'])) AS s_es,
+          len(list_intersect(words, ['der','die','und'])) AS s_de
+        FROM w)
+        SELECT doc_id, CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred
+        FROM s""",
+    "fingerprint": f"""{SEQ}
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, list_transform(tokens, t -> t::BIGINT)),
+                      (acc, t) -> (acc*{tx.FP_MULT} + t) % {tx.HASH_MOD}) AS fp,
+          len(tokens)::INT AS n_tok
+        FROM seq""",
+    "dedup_exact": """
+        SELECT doc_id,
+          (row_number() OVER (PARTITION BY text ORDER BY doc_id))::BIGINT AS dup_rank,
+          (count(*) OVER (PARTITION BY text))::BIGINT AS group_size,
+          row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_dup
+        FROM documents""",
+    "dedup_minhash": _minhash_sql(0.1),
+    "simhash": f"{SEQ} SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM seq",
+    "term_match": f"""
+        WITH w AS (SELECT doc_id,
+                     list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS words
+                   FROM documents)
+        SELECT doc_id,
+          round(len(list_intersect(words, {list(TERM_QUERY)}))::DOUBLE
+                / nullif(len(list_distinct(list_concat(words, {list(TERM_QUERY)}))), 0), 6)
+            AS term_score
+        FROM w""",
+    "bm25": _bm25_sql(),
+    "ann_cosine": f"""
+        WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id, {_COS} AS score FROM embeddings, q)
+        SELECT vec_id, score, rank FROM
+          (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank FROM s)
+        WHERE rank <= 5""",
+    "ann_lsh": f"""
+        WITH sig AS (SELECT vec_id, embedding, ({_lsh_sig_sql('embedding')}) AS sig FROM embeddings),
+        qs AS (SELECT sig AS qsig, embedding AS q FROM sig WHERE vec_id = 0),
+        cand AS (SELECT vec_id, {_COS} AS score
+                 FROM sig, qs WHERE sig.sig = qs.qsig)
+        SELECT vec_id, score, rank FROM
+          (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank FROM cand)
+        WHERE rank <= 3""",
+    "vector_reduce": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        SELECT vec_id,
+          round(list_min(v), 6) AS v_min,
+          round(list_max(v), 6) AS v_max,
+          round(list_sum(v) / len(v), 6) AS v_avg,
+          len(v)::BIGINT AS v_dim
+        FROM e""",
+    "source_stats": f"""{SEQ}
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(tokens))::BIGINT AS total_tokens,
+          round(avg(len(tokens)), 6) AS avg_tokens
+        FROM seq GROUP BY source""",
+}
+
+_TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tokenize": q_tokenize,
+    "doc_quality": q_doc_quality,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash": q_simhash,
+    "term_match": q_term_match,
+    "bm25": q_bm25,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "vector_reduce": q_vector_reduce,
+    "source_stats": q_source_stats,
+}
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -451,7 +788,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_time": q_local_time,
     "split_hold_last": q_split_hold_last,
     "trending": q_trending,
+    **_TEXT_QUERIES,
 }
+_ORACLES.update(_TEXT_ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

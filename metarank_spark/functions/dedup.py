@@ -1,0 +1,143 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (this is the part that must survive 100 TB):
+- exact dedup: one hash-shuffle on the dedup key (window rank) — linear.
+- MinHash LSH: signatures are per-row array math (no shuffle); candidate
+  generation explodes rows × bands (small constant) and self-joins on the
+  band key — pairs are generated only within buckets, never O(n²). The
+  verify step computes true shingle Jaccard only for candidates.
+- SimHash: per-row bit arithmetic; near-dup buckets = groupBy(signature).
+All constants are embedded literals so the DuckDB oracles compute the same
+ids bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_003
+SHINGLE_MULT = 8191
+# deterministic MinHash parameter table (a odd-ish, b) — LCG-expanded
+MINHASH_K = 8
+MINHASH_PARAMS = [
+    ((1664525 * (i + 1) + 1013904223) % HASH_MOD or 1, (22695477 * (i + 1) + 1) % HASH_MOD)
+    for i in range(MINHASH_K)
+]
+BAND_ROWS = 2  # 8 hashes → 4 bands of 2
+SIMHASH_BITS = 20
+SIMHASH_MULT = 2654435761
+SIMHASH_MOD = 4294967296
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle ids over the token sequence (rolling hash,
+    same fold both engines). Empty when len(tokens) < n."""
+    assert n == 3, "tuned fold below is for trigrams"
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    sh = F.transform(
+        idx,
+        lambda i: (
+            ((F.get(tokens, i).cast("long") * SHINGLE_MULT + F.get(tokens, i + 1)) % HASH_MOD)
+            * SHINGLE_MULT
+            + F.get(tokens, i + 2)
+        )
+        % HASH_MOD,
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.nullif(union.cast("double"), F.lit(0.0))
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate marking: rows sharing ``key`` form a group; the
+    lowest id is the canonical survivor."""
+    w = Window.partitionBy("__k").orderBy(id_col)
+    cnt = Window.partitionBy("__k")
+    return (
+        df.withColumn("__k", key)
+        .withColumn("dup_rank", F.row_number().over(w).cast("long"))
+        .withColumn("group_size", F.count(F.lit(1)).over(cnt).cast("long"))
+        .withColumn("is_dup", (F.col("dup_rank") > 1).cast("boolean"))
+        .drop("__k")
+    )
+
+
+def minhash_signature(tokens: Column) -> list[Column]:
+    """k MinHash values over the trigram shingle set:
+    h_i(s) = (a_i*s + b_i) mod P, sig_i = min over shingles."""
+    sh = shingles_expr(tokens)
+    return [
+        F.array_min(F.transform(sh, lambda s: (F.lit(a) * s + F.lit(b)) % HASH_MOD))
+        for a, b in MINHASH_PARAMS
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    tokens: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
+
+    Pipeline: signature (per-row) → explode bands → self-join on band key
+    (bucket-local candidate generation) → dedup pairs → verify true
+    Jaccard on trigram shingle sets ≥ threshold.
+    """
+    sigs = minhash_signature(F.col(tokens))
+    n_bands = MINHASH_K // BAND_ROWS
+    bands = [
+        F.concat_ws(
+            "_",
+            F.lit(bi),
+            *[sigs[bi * BAND_ROWS + r].cast("string") for r in range(BAND_ROWS)],
+        )
+        for bi in range(n_bands)
+    ]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(tokens)).alias("sh"),
+        F.explode(F.array(*bands)).alias("band"),
+    ).filter(F.size("sh") > 0)
+    left = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band")
+    right = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band")
+    cand = (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_expr(tokens: Column) -> Column:
+    """SimHash over the token multiset: spread each token id with a
+    Knuth-style multiplier, majority-vote each of SIMHASH_BITS bits."""
+    n = F.size(tokens)
+    g = lambda t: (t.cast("long") * SIMHASH_MULT) % SIMHASH_MOD  # noqa: E731
+
+    def bit_pred(j: int):
+        # single-arg lambda: F.filter passes (element, index) to 2-arg ones
+        return lambda t: F.floor(g(t) / F.lit(float(2**j))).cast("long") % 2 == 1
+
+    bits = [
+        (F.size(F.filter(tokens, bit_pred(j))) * 2 > n).cast("long") * (2**j)
+        for j in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

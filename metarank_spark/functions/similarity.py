@@ -1,0 +1,83 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Per-row JVM array
+  math (zip_with/aggregate), one broadcast of the query vector, one global
+  top-k (rank over rounded score). Linear scan — fine up to ~10^8 rows per
+  executor-hour, and the baseline every ANN variant is verified against.
+- LSH (random hyperplane) bucketing: the scale path. Deterministic
+  pseudo-random hyperplanes (hash-formula, no RNG state), signature =
+  sign-bit string; candidates share the query's bucket, exact cosine only
+  within the bucket. At 100 TB the bucket join is a broadcast of the
+  query signature + a partition-pruned scan when the table is written
+  bucketed/partitioned by signature.
+
+Scores are rounded to 6dp before ranking so Spark and DuckDB (different
+summation trees over float32 inputs) rank identically; ties break on id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+LSH_MOD = 1_000_003
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a single-row query DataFrame
+    (column ``q``). Returns (vec_id, score, rank)."""
+    joined = df.join(F.broadcast(query))
+    score = F.round(cosine_expr(F.col(vec), F.col("q")), 6)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        joined.select(F.col(id_col), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_expr(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane j: component i =
+    ((j*2654435761 + i*40503) mod P)/P - 0.5 — same closed form in SQL."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda i: ((F.lit(plane) * 2654435761 + i.cast("long") * 40503) % LSH_MOD)
+        / F.lit(float(LSH_MOD))
+        - 0.5,
+    )
+
+
+def lsh_signature(vec: Column, dim: int) -> Column:
+    """Sign-bit signature over LSH_PLANES hyperplanes, as a long."""
+    bits = []
+    for j in range(LSH_PLANES):
+        d = dot_expr(vec, hyperplane_expr(j, dim))
+        bits.append((d > 0).cast("long") * (2**j))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

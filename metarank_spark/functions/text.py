@@ -1,0 +1,133 @@
+"""Text analysis for training-data pipelines — tokenization, language ID,
+quality scoring, fingerprinting.
+
+Everything here is pure Spark higher-order functions (JVM, no Python on the
+data path) and is deliberately *SQL-expressible* so every operator has a
+DuckDB oracle. Token ids come from a rolling polynomial hash — deterministic,
+engine-independent, and cheap:
+
+    id(word) = fold chars: (acc*31 + ascii(c)) mod 1_000_003
+
+The tokenized-sequences table is the driver's input_hint shape:
+(doc_id string, tokens array<int>, n_tok int, source string); tokens are a
+passthrough payload column downstream (byte-equal in outputs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_003
+FP_MULT = 131
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def words_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def token_id_expr(word: Column) -> Column:
+    """Rolling hash of one word (vectorized, JVM-side)."""
+    return F.aggregate(
+        F.split(word, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def token_ids_expr(text: Column | str) -> Column:
+    """text → array<int> token ids."""
+    return F.transform(words_expr(text), lambda w: token_id_expr(w).cast("int"))
+
+
+def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint table (doc_id, tokens:array<int32>, n_tok:int32,
+    source), derived deterministically from the documents table."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = token_ids_expr("text")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+def fingerprint_expr(tokens: Column) -> Column:
+    """Rolling-hash document fingerprint over the token id sequence:
+    fold: (acc*131 + t) mod 1_000_003 — order-sensitive, so it
+    distinguishes permutations exact-dedup by set would merge."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MULT + t) % HASH_MOD,
+    )
+
+
+def stopword_ratio_expr(text: Column | str) -> Column:
+    w = words_expr(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    return hits / F.nullif(F.size(w).cast("double"), F.lit(0.0))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Heuristic quality signals: length, mean word length, stopword ratio,
+    type-token ratio; composite score = weighted sum (rounded 6dp so both
+    engines agree bitwise)."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = words_expr(c)
+    n_words = F.size(w)
+    n_chars = F.length(c)
+    mean_wlen = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / F.nullif(n_words.cast("double"), F.lit(0.0)),
+        6,
+    )
+    ttr = F.round(
+        F.size(F.array_distinct(w)) / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    stop = F.round(stopword_ratio_expr(c), 6)
+    score = F.round(
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + (F.lit(1.0) - stop) * 0.2,
+        6,
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "mean_word_len": mean_wlen,
+        "type_token_ratio": ttr,
+        "stopword_ratio": stop,
+        "quality_score": score,
+    }
+
+
+# deterministic two-profile-or-more language ID (n-gram/stopword heuristic).
+LANG_PROFILES = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+}
+
+
+def langid_expr(text: Column | str) -> Column:
+    """argmax of distinct profile-word hits; ties break in en>es>de order
+    (a deterministic classifier both engines compute identically)."""
+    w = F.array_distinct(words_expr(text))
+    scores = {}
+    for lang, prof in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(p) for p in prof])
+        scores[lang] = F.size(F.array_intersect(w, arr))
+    return (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), F.lit("en")
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )

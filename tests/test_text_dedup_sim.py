@@ -1,0 +1,72 @@
+"""Semantic unit tests for the training-data pipeline functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metarank_spark.functions import dedup as dd
+from metarank_spark.functions import similarity as sim
+from metarank_spark.functions import text as tx
+
+
+def test_tokenizer_deterministic_and_ntok(spark):
+    df = spark.createDataFrame([("the fast spark", 1)], ["text", "x"])
+    row = df.select(
+        tx.token_ids_expr("text").alias("t"),
+        F.size(tx.token_ids_expr("text")).alias("n"),
+    ).collect()[0]
+    assert row["t"] == [114801, 135571, 638038]
+    assert row["n"] == 3
+
+
+def test_minhash_identical_docs_pair_with_jaccard_1(spark):
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [("1", txt), ("2", txt), ("3", "totally different words here now ok yes")],
+        ["doc_id", "text"],
+    ).select("doc_id", tx.token_ids_expr("text").alias("tokens"))
+    pairs = dd.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"], p["jaccard"]) == ("1", "2", 1.0)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dd.exact_dedup(df, F.col("text")).collect()}
+    assert out[1]["is_dup"] is False and out[2]["is_dup"] is True
+    assert out[1]["group_size"] == 2 and out[3]["group_size"] == 1
+
+
+def test_simhash_close_for_similar_docs(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " lam"  # one extra token
+    c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"]).select(
+        "doc_id", tx.token_ids_expr("text").alias("tokens")
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dd.simhash_expr(F.col("tokens")).alias("sh")).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("q"))
+    top = sim.cosine_topk(df, q, k=3).collect()
+    assert top[0]["vec_id"] == 3 and abs(top[0]["score"] - 1.0) < 1e-6
+    assert [t["rank"] for t in top] == [1, 2, 3]
+
+
+def test_lsh_signature_stable(spark):
+    df = spark.createDataFrame([(1, [0.5] * 16), (2, [-0.5] * 16)], ["vec_id", "embedding"])
+    out = df.select("vec_id", sim.lsh_signature(F.col("embedding"), 16).alias("sig")).collect()
+    sigs = {r["vec_id"]: r["sig"] for r in out}
+    # opposite vectors → complementary sign bits
+    assert sigs[1] ^ sigs[2] == (1 << sim.LSH_PLANES) - 1
