@@ -1,0 +1,110 @@
+"""spark-submit entry point: checkpointed feature backfill.
+
+Usage (local or cluster — on a cluster drop the --master and let
+spark-submit decide):
+
+    python -m zipfile -c /tmp/metarank_spark.zip metarank_spark
+    spark-submit --py-files /tmp/metarank_spark.zip jobs/backfill.py \
+        --events /path/events.parquet --output /path/features \
+        --n-ranges 64 [--synthetic-users 100000] [--features features.json]
+
+Features come from a JSON list of {type: ..., ...kwargs} mirroring the
+reference's YAML config (model/FeatureSchema.scala:44-75). The job prints
+one JSON line per completed range (the lineage manifest) and a final
+summary line; a killed job rerun with the same args resumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+FEATURE_TYPES = None  # populated after imports (spark-submit path setup)
+
+
+def parse_features(spec: list[dict]):
+    from metarank_spark import engine as E
+
+    types = {
+        "window_count": E.WindowCount,
+        "interaction_count": E.InteractionCount,
+        "rate": E.Rate,
+        "number": E.Number,
+        "boolean": E.Boolean,
+        "string": E.StringEncode,
+        "item_age": E.ItemAge,
+        "word_count": E.WordCount,
+        "relevancy": E.Relevancy,
+        "position": E.Position,
+        "interacted_with": E.InteractedWith,
+    }
+    out = []
+    for f in spec:
+        f = dict(f)
+        t = f.pop("type")
+        for k in ("periods", "values", "fields"):
+            if k in f and isinstance(f[k], list):
+                f[k] = tuple(f[k])
+        out.append(types[t](**f))
+    return out
+
+
+DEFAULT_FEATURES = [
+    {"type": "interaction_count", "name": "clicks", "interaction": "click"},
+    {"type": "window_count", "name": "cnt7", "interaction": "click", "periods": [7]},
+    {"type": "rate", "name": "ctr", "top": "click", "bottom": "impression", "periods": [7, 14]},
+]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", help="parquet path of canonical events")
+    ap.add_argument("--synthetic-users", type=int, default=0,
+                    help="generate synthetic ranklens events instead of reading --events")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-ranges", type=int, default=16)
+    ap.add_argument("--entity", default="user_id")
+    ap.add_argument("--features", help="JSON file with feature specs")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
+    args = ap.parse_args(argv)
+
+    from metarank_spark.checkpoint import backfill, load_manifests
+    from metarank_spark.datagen import synthetic_ranklens
+    from metarank_spark.engine import FeatureEngine
+    from metarank_spark.session import get_spark
+
+    spark = get_spark("metarank-backfill", parallelism=args.cpus)
+    if args.synthetic_users:
+        events = synthetic_ranklens(spark, users=args.synthetic_users)
+    elif args.events:
+        events = spark.read.parquet(args.events)
+    else:
+        ap.error("need --events or --synthetic-users")
+
+    spec = DEFAULT_FEATURES
+    if args.features:
+        with open(args.features) as fh:
+            spec = json.load(fh)
+    engine = FeatureEngine(parse_features(spec))
+
+    completed = backfill(events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity)
+    for m in completed:
+        print(json.dumps(m))
+    all_m = load_manifests(args.output)
+    total_rows = sum(m["rows"] for m in all_m.values())
+    total_sec = sum(m["wall_sec"] for m in all_m.values())
+    print(json.dumps({
+        "summary": True,
+        "ranges_total": len(all_m),
+        "ranges_this_run": len(completed),
+        "rows": total_rows,
+        "wall_sec": round(total_sec, 3),
+        "rows_per_sec": round(total_rows / total_sec, 1) if total_sec else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

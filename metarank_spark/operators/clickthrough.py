@@ -120,7 +120,7 @@ def training_matrix(
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     labels = ints.groupBy("ranking_id", "item_id").agg(
         F.max(
-            F.coalesce(wmap.getItem(F.col("interaction_type")), F.lit(0.0))
+            F.coalesce(F.element_at(wmap, F.col("interaction_type")), F.lit(0.0))
         ).alias("label")
     )
     out = values.join(labels, ["ranking_id", "item_id"], "left")

@@ -1,0 +1,81 @@
+"""Resume-from-checkpoint: a killed backfill continues without recomputing
+completed entity ranges, and the resumed output equals a single-shot run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metarank_spark.checkpoint import backfill, load_manifests
+from metarank_spark.engine import FeatureEngine, InteractionCount
+from metarank_spark.events import events_df, interaction_event, ranking_event
+
+T0 = 1_700_000_000_000
+
+
+def _events(spark):
+    rows, seq = [], 0
+    for u in range(16):
+        for r in range(3):
+            seq += 1
+            rid = f"r{u}_{r}"
+            ts = T0 + u * 60_000 + r * 5_000
+            rows.append(
+                ranking_event(rid, ["p1", "p2"], ts, seq, user=f"u{u}", session=f"s{u}")
+            )
+            seq += 1
+            rows.append(
+                interaction_event("p1", "click", ts + 1000, seq, user=f"u{u}",
+                                  session=f"s{u}", ranking=rid)
+            )
+    return events_df(spark, rows)
+
+
+def _collect_output(spark, path):
+    df = spark.read.parquet(*[
+        os.path.join(path, d) for d in os.listdir(path) if d.startswith("entity_range=")
+    ])
+    return sorted(
+        (r["ranking_id"], r["item_id"], r["clicks"], r["label"]) for r in df.collect()
+    )
+
+
+def test_backfill_resume(spark, tmp_path):
+    ev = _events(spark)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+
+    single = str(tmp_path / "single")
+    backfill(ev, eng, single, n_ranges=4)
+    expected = _collect_output(spark, single)
+    assert len(expected) == 16 * 3 * 2
+
+    # killed run: completes 2 of 4 ranges then dies
+    out = str(tmp_path / "resumable")
+    with pytest.raises(RuntimeError, match="simulated driver kill"):
+        backfill(ev, eng, out, n_ranges=4, fail_after=2)
+    first = load_manifests(out)
+    assert len(first) == 2
+
+    # resume: only the remaining ranges run
+    completed = backfill(ev, eng, out, n_ranges=4)
+    assert sorted(m["range_id"] for m in completed) == sorted(
+        set(range(4)) - set(first)
+    )
+    assert _collect_output(spark, out) == expected
+    # manifests carry lineage + metrics
+    all_m = load_manifests(out)
+    assert len(all_m) == 4
+    assert all("input_fingerprint" in m and m["rows_per_sec"] is not None for m in all_m.values())
+
+
+def test_backfill_input_change_invalidates(spark, tmp_path):
+    ev = _events(spark)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    out = str(tmp_path / "inv")
+    backfill(ev, eng, out, n_ranges=2)
+    # different input → all ranges recompute
+    ev2 = ev.filter(F.col("seq") <= 60)
+    completed = backfill(ev2, eng, out, n_ranges=2)
+    assert len(completed) == 2
