@@ -106,11 +106,16 @@ def backfill(
         if fail_after is not None and len(completed) >= fail_after:
             raise RuntimeError(f"simulated driver kill after {fail_after} ranges")
         t0 = time.perf_counter()
-        tm = training_matrix(events, engine)
-        part = tm.filter(entity_range(F.col(entity), n_ranges) == rid)
+        # range filter is pushed to snapshot assembly: write-series state
+        # still folds ALL events, only in-range rankings are assembled
+        part = training_matrix(
+            events, engine,
+            ranking_pred=entity_range(F.col(entity), n_ranges) == rid,
+        )
         path = os.path.join(output, f"entity_range={rid}")
         part.write.mode("overwrite").parquet(path)
-        n = part.count()
+        # row count from the written files (metadata scan), not a DAG re-run
+        n = events.sparkSession.read.parquet(path).count()
         dt = time.perf_counter() - t0
         manifest = {
             "range_id": rid,

@@ -32,6 +32,13 @@ from dataclasses import dataclass, field as dfield
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metarank_spark.operators.merge import (
+    MergedFeature,
+    bucket_range_window,
+    entity_rows_window,
+    masked,
+    run_merged,
+)
 from metarank_spark.plans.asof import asof_join
 from metarank_spark.plans.windows import bucketed_window_count
 
@@ -263,14 +270,21 @@ class FeatureEngine:
 
     # ---------------- snapshot assembly ----------------
 
-    def ranking_values(self, events: DataFrame) -> DataFrame:
+    def ranking_values(self, events: DataFrame, ranking_pred: Column | None = None) -> DataFrame:
         """One row per (ranking_id, position, item_id) with one column per
         feature — the offline-training feature matrix (ClickthroughValues
-        parity surface, model/TrainValues.scala:13-15)."""
+        parity surface, model/TrainValues.scala:13-15).
+
+        ``ranking_pred`` restricts WHICH rankings get snapshots (e.g. one
+        entity hash range of a checkpointed backfill) without truncating
+        the state history — write series always see all events.
+        """
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
             "ts_ms", "seq", "user_id", "session_id", "items",
         )
+        if ranking_pred is not None:
+            rankings = rankings.filter(ranking_pred)
         base = rankings.select(
             "ranking_id", "ts_ms", "seq", "user_id", "session_id",
             F.posexplode("items").alias("position", "item"),
@@ -279,12 +293,183 @@ class FeatureEngine:
             F.col("item.id").alias("item_id"),
             F.col("item.relevancy").alias("relevancy"),
         )
-        out = base
+
+        # partition features: merged-scan path (one shuffle per scope) vs
+        # legacy per-feature joins (interacted_with, normalized rate)
+        merged_groups: dict[str, list] = {}
+        legacy: list = []
+        trivial: list = []
         for cfg in self.features:
+            scope = self._merge_scope(cfg)
+            if isinstance(cfg, (Relevancy, Position)):
+                trivial.append(cfg)
+            elif scope is not None:
+                merged_groups.setdefault(scope, []).append(cfg)
+            else:
+                legacy.append(cfg)
+
+        # chain scope groups: each merged scan carries ALL current columns
+        # through as query payload — no join back to base, so a K-feature
+        # pipeline is exactly K-distinct-scopes shuffles + the label join
+        out = base
+        for scope, cfgs in merged_groups.items():
+            out = self._run_scope_group(events, out, scope, cfgs)
+        for cfg in legacy:
+            out = self._attach(out, rankings, events, cfg)
+        for cfg in trivial:
             out = self._attach(out, rankings, events, cfg)
         return out.drop("relevancy") if not any(
             isinstance(c, Relevancy) for c in self.features
         ) else out
+
+    # ---------------- merged-scan compilation ----------------
+
+    @staticmethod
+    def _merge_scope(cfg) -> str | None:
+        """Scope key of the single-pass merged scan, or None for features
+        that need the join path."""
+        if isinstance(cfg, (WindowCount, InteractionCount)):
+            return cfg.scope
+        if isinstance(cfg, Rate):
+            return None if cfg.normalize_weight is not None else cfg.scope
+        if isinstance(cfg, (Number, Boolean, StringEncode, WordCount)):
+            return cfg.source
+        if isinstance(cfg, ItemAge):
+            return "item"
+        return None
+
+    def _run_scope_group(self, events, base, scope, cfgs):
+        """Build the merged write+query stream for one scope and compute all
+        of its features in a single sorted-partition pass. ``base`` rows
+        (one per ranking-item, plus any already-attached feature columns)
+        ride through as query payload; the result is base + new columns."""
+        ent_write = _entity_col(scope)
+        ent_read = {
+            "item": F.col("item_id"), "user": F.col("user_id"),
+            "session": F.col("session_id"), "global": F.lit(GLOBAL_ENTITY),
+        }[scope]
+        qkeys = [c for c in base.columns if c not in ("ts_ms", "seq")]
+        queries = base.select(ent_read.alias("entity"), "ts_ms", "seq", *qkeys)
+
+        preds, payloads, feats = [], {}, []
+        itypes: dict[str, str] = {}
+
+        def itype_flag(itype: str) -> str:
+            name = f"__f_{itype}"
+            if name not in itypes:
+                itypes[name] = itype
+                payloads[name] = F.when(
+                    (F.col("event_type") == "interaction")
+                    & (F.col("interaction_type") == itype),
+                    F.lit(1),
+                )
+                preds.append(
+                    (F.col("event_type") == "interaction")
+                    & (F.col("interaction_type") == itype)
+                )
+            return name
+
+        nan = F.lit(float("nan"))
+        for cfg in cfgs:
+            if isinstance(cfg, InteractionCount):
+                fl = itype_flag(cfg.interaction)
+                run = entity_rows_window("entity")
+                wc = {f"{cfg.name}__v": masked(
+                    F.col(fl) == 1, F.sum(fl).over(run).cast("long"))}
+                feats.append(MergedFeature(
+                    cfg.name, wc,
+                    lambda c, n=f"{cfg.name}__v": F.coalesce(
+                        c[n].cast("double"), F.lit(0.0)),
+                ))
+            elif isinstance(cfg, WindowCount):
+                fl = itype_flag(cfg.interaction)
+                bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
+                run = entity_rows_window("entity")
+                vec = F.array(*[
+                    (F.coalesce(F.sum(fl).over(run), F.lit(0))
+                     - F.coalesce(F.sum(fl).over(
+                         bucket_range_window("entity", bucket, p)), F.lit(0)))
+                    for p in cfg.periods
+                ])
+                wc = {f"{cfg.name}__v": masked(F.col(fl) == 1, vec)}
+                dim = len(cfg.periods)
+                feats.append(MergedFeature(
+                    cfg.name, wc,
+                    lambda c, n=f"{cfg.name}__v", d=dim: F.when(
+                        c[n].isNull(), _nan_array(d)
+                    ).otherwise(F.transform(c[n], lambda x: x.cast("double"))),
+                ))
+            elif isinstance(cfg, Rate):
+                ft, fb = itype_flag(cfg.top), itype_flag(cfg.bottom)
+                bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
+                run = entity_rows_window("entity")
+                def wvec(fl):
+                    return F.array(*[
+                        (F.coalesce(F.sum(fl).over(run), F.lit(0))
+                         - F.coalesce(F.sum(fl).over(
+                             bucket_range_window("entity", bucket, p)), F.lit(0)))
+                        for p in cfg.periods
+                    ])
+                wc = {
+                    f"{cfg.name}__t": masked(F.col(ft) == 1, wvec(ft)),
+                    f"{cfg.name}__b": masked(F.col(fb) == 1, wvec(fb)),
+                }
+                dim = len(cfg.periods)
+                feats.append(MergedFeature(
+                    cfg.name, wc,
+                    lambda c, tn=f"{cfg.name}__t", bn=f"{cfg.name}__b", d=dim: F.when(
+                        c[tn].isNull() | c[bn].isNull(), _nan_array(d)
+                    ).otherwise(
+                        F.zip_with(c[tn], c[bn], lambda x, y: x / y.cast("double"))
+                    ),
+                ))
+            elif isinstance(cfg, (Number, Boolean, StringEncode, WordCount, ItemAge)):
+                src = "item" if isinstance(cfg, ItemAge) else cfg.source
+                if isinstance(cfg, Number):
+                    val = F.col("num_fields").getItem(cfg.field)
+                elif isinstance(cfg, Boolean):
+                    head = F.col("str_fields").getItem(cfg.field).getItem(0)
+                    val = F.when(head == "true", 1.0).when(head == "false", 0.0)
+                elif isinstance(cfg, StringEncode):
+                    val = F.col("str_fields").getItem(cfg.field).getItem(0)
+                elif isinstance(cfg, WordCount):
+                    val = F.size(
+                        F.split(F.col("str_fields").getItem(cfg.field).getItem(0), r"\s+")
+                    ).cast("double")
+                else:  # ItemAge: store write ts (ItemAgeFeature.scala:41-70)
+                    val = F.col("ts_ms").cast("double")
+                pname = f"__p_{cfg.name}"
+                payloads[pname] = F.when(F.col("event_type") == src, val)
+                preds.append(
+                    (F.col("event_type") == src) & val.isNotNull()
+                )
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                if isinstance(cfg, ItemAge):
+                    fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
+                        (F.col("ts_ms") - c[n]) / 1000.0, nan)
+                elif isinstance(cfg, StringEncode):
+                    if cfg.encode == "index":
+                        mapping = F.array(*[F.lit(v) for v in cfg.values])
+                        fin = lambda c, n=f"{cfg.name}__v", m=mapping: F.coalesce(
+                            F.array_position(m, c[n]), F.lit(0)).cast("double")
+                    else:
+                        vals = cfg.values
+                        fin = lambda c, n=f"{cfg.name}__v", vs=vals: F.array(
+                            *[F.when(c[n] == v, 1.0).otherwise(0.0) for v in vs])
+                else:
+                    fin = lambda c, n=f"{cfg.name}__v": F.coalesce(c[n], nan)
+                feats.append(MergedFeature(cfg.name, wc, fin))
+            else:  # pragma: no cover
+                raise ValueError(f"not mergeable: {cfg}")
+
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        writes = events.filter(pred).select(
+            ent_write.alias("entity"), "ts_ms", "seq",
+            *[expr.alias(n) for n, expr in payloads.items()],
+        ).filter(F.col("entity").isNotNull())
+        return run_merged(queries, writes, "entity", feats, qkeys)
 
     # dispatch
     def _attach(self, base, rankings, events, cfg) -> DataFrame:

@@ -101,6 +101,7 @@ def training_matrix(
     engine,
     interaction_weights: dict[str, float] | None = None,
     inject: bool = True,
+    ranking_pred=None,
 ) -> DataFrame:
     """ClickthroughValues-equivalent table: per (ranking, position, item)
     feature columns + label from interaction weights
@@ -108,7 +109,7 @@ def training_matrix(
     click=1.0, non-interacted=0.0). The allclose parity surface."""
     weights = interaction_weights or {"click": 1.0}
     stream = inject_impressions(events) if inject else events
-    values = engine.ranking_values(stream)
+    values = engine.ranking_values(stream, ranking_pred=ranking_pred)
 
     ints = events.filter(
         (F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull()

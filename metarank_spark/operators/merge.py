@@ -1,0 +1,124 @@
+"""The sorted-partition as-of merge — one shuffle per entity scope for ALL
+features of that scope.
+
+Instead of one union+sort+join per feature (a chain of dependent stages),
+all write events and all query (ranking) rows of one scope are unioned
+into a single stream, hash-partitioned by the entity key and sorted once
+by (ts_ms, seq, side). Every feature then becomes window expressions over
+that one sorted frame:
+
+- write-row values (counter totals, periodic vectors, scalars) are
+  computed with running / bucket-range frames, masked to write rows;
+- query rows pick up the latest strictly-earlier write value with
+  last(..., ignorenulls) over an unbounded→-1 frame — the zero-leakage
+  snapshot (ordering contract of flow/MetarankFlow.scala:31-55).
+
+Catalyst compiles all same-(partition, order) windows into ONE Window
+operator over ONE exchange; the bucket-ordered RANGE frames add a cheap
+in-partition re-sort (bucket is monotone in ts), no extra shuffle. At
+10^12 rows this is the difference between ~4 shuffles per feature and
+~2 per *scope*.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIDE_QUERY = 0
+SIDE_WRITE = 1
+ORDER = ("ts_ms", "seq", "__side")
+
+
+@dataclass
+class MergedFeature:
+    """One feature compiled against the merged frame.
+
+    write_cols: intermediate columns evaluated on the merged frame (must be
+      null on rows that are not this feature's writes — the mask).
+    finish: carried-value columns (name → strictly-before carried Column)
+      are handed back to build the feature's output expression.
+    """
+    name: str
+    write_cols: dict[str, Column]
+    finish: "callable"
+
+
+def run_merged(
+    queries: DataFrame,
+    writes: DataFrame,
+    entity: str,
+    features: list[MergedFeature],
+    query_keys: list[str],
+) -> DataFrame:
+    """queries: (entity, ts_ms, seq, *query_keys); writes: (entity, ts_ms,
+    seq, *payload). Returns query rows + one column per feature."""
+    all_write_names = [n for f in features for n in f.write_cols]
+    payload = [c for c in writes.columns if c not in (entity, "ts_ms", "seq")]
+
+    q = queries.select(
+        F.col(entity),
+        F.col("ts_ms"),
+        F.col("seq"),
+        F.lit(SIDE_QUERY).alias("__side"),
+        *[F.col(k) for k in query_keys],
+        *[F.lit(None).cast(writes.schema[p].dataType).alias(p) for p in payload],
+    )
+    w = writes.select(
+        F.col(entity),
+        F.col("ts_ms"),
+        F.col("seq"),
+        F.lit(SIDE_WRITE).alias("__side"),
+        *[F.lit(None).cast(queries.schema[k].dataType).alias(k) for k in query_keys],
+        *[F.col(p) for p in payload],
+    )
+    merged = q.unionByName(w)
+
+    # write-row intermediates (masked), all over the single sorted frame
+    inter = merged.select("*", *[
+        expr.alias(n) for f in features for n, expr in f.write_cols.items()
+    ])
+
+    strict = (
+        Window.partitionBy(entity)
+        .orderBy(*ORDER)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = inter.select(
+        "*",
+        *[
+            F.last(F.col(n), ignorenulls=True).over(strict).alias(f"__carr_{n}")
+            for n in all_write_names
+        ],
+    )
+    out = carried.filter(F.col("__side") == SIDE_QUERY)
+    feature_cols = [
+        f.finish({n: F.col(f"__carr_{n}") for n in f.write_cols}).alias(f.name)
+        for f in features
+    ]
+    return out.select(*query_keys, "ts_ms", "seq", *feature_cols)
+
+
+# ---------- frame helpers usable inside write_cols ----------
+
+def entity_rows_window(entity: str, end: int | None = None) -> Window:
+    end = Window.currentRow if end is None else end
+    return (
+        Window.partitionBy(entity)
+        .orderBy(*ORDER)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+
+
+def bucket_range_window(entity: str, bucket: Column, periods: int) -> Window:
+    return (
+        Window.partitionBy(entity)
+        .orderBy(bucket)
+        .rangeBetween(Window.unboundedPreceding, -(periods + 1))
+    )
+
+
+def masked(flag: Column, value: Column) -> Column:
+    return F.when(flag, value)

@@ -32,7 +32,9 @@ def get_spark(
     from the environment / spark-submit and this arg is ignored.
     """
     cpus = parallelism or DEFAULT_CPUS
-    shuffle = shuffle_partitions or max(cpus, 8)
+    # 4x cores: avoids task-wave quantization and per-key skew tails in the
+    # window stages; AQE coalesces back down when partitions come out small
+    shuffle = shuffle_partitions or max(cpus * 4, 16)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
