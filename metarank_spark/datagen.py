@@ -63,6 +63,7 @@ def synthetic_ranklens(
         F.lit(None).cast(EVENT_SCHEMA["items"].dataType).alias("items"),
         "str_fields",
         F.lit(None).cast(EVENT_SCHEMA["num_fields"].dataType).alias("num_fields"),
+        F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
     )
 
     # --- rankings: one row per (user, ranking idx) ---
@@ -99,6 +100,7 @@ def synthetic_ranklens(
         "items",
         F.lit(None).cast(EVENT_SCHEMA["str_fields"].dataType).alias("str_fields"),
         F.lit(None).cast(EVENT_SCHEMA["num_fields"].dataType).alias("num_fields"),
+        F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
     )
 
     # --- clicks: cpr per ranking on pseudo-random shown positions ---
@@ -121,6 +123,7 @@ def synthetic_ranklens(
         F.lit(None).cast(EVENT_SCHEMA["items"].dataType).alias("items"),
         F.lit(None).cast(EVENT_SCHEMA["str_fields"].dataType).alias("str_fields"),
         F.lit(None).cast(EVENT_SCHEMA["num_fields"].dataType).alias("num_fields"),
+        F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
     )
 
     return item_events.unionByName(ranking_events).unionByName(click_events)

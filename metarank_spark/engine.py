@@ -137,6 +137,70 @@ class Position:
 
 
 @dataclass(frozen=True)
+class LocalTime:
+    """local_time (LocalDateTimeFeature.scala:25-28): calendar component of
+    the ranking timestamp (UTC). parts: time_of_day | day_of_week |
+    month_of_year | year | hour | minute | second."""
+    name: str
+    part: str = "time_of_day"
+
+
+@dataclass(frozen=True)
+class Vector:
+    """vector (NumVectorFeature.scala): reduce the item's last numeric-list
+    field. Default reducers mirror :28 — (min, max, size, avg)."""
+    name: str
+    field: str
+    reducers: tuple[str, ...] = ("min", "max", "size", "avg")
+    source: str = "item"
+
+
+@dataclass(frozen=True)
+class Stats:
+    """StatsEstimator primitive (model/Feature.scala:213-234): min/max +
+    exact percentiles over a bounded pool of the last ``pool`` numeric
+    samples from interactions (sampleRate pinned at 1)."""
+    name: str
+    field: str
+    pool: int = 100
+    percentiles: tuple[int, ...] = (50, 90)
+    scope: str = "item"
+
+
+@dataclass(frozen=True)
+class Freq:
+    """FreqEstimator primitive (model/Feature.scala:112-126): relative
+    frequency map over the last ``pool`` string samples (sampleRate=1)."""
+    name: str
+    field: str
+    pool: int = 100
+    scope: str = "item"
+
+
+@dataclass(frozen=True)
+class RecentItems:
+    """BoundedList primitive surfaced as a feature: the visitor's recent
+    interacted item ids, newest first (MemBoundedList.scala:18-37)."""
+    name: str
+    interaction: str
+    count: int = 10
+    duration_ms: int = DAY_MS
+    scope: str = "session"
+
+
+@dataclass(frozen=True)
+class Diversity:
+    """diversity (DiversityFeature.scala): numeric → candidate value minus
+    the median over the ranking's first ``top_n`` items (:118-130);
+    string → share of the candidate's values in the ranking's value
+    histogram (:105-117)."""
+    name: str
+    field: str
+    kind: str = "numeric"  # numeric | string
+    top_n: int = 10
+
+
+@dataclass(frozen=True)
 class InteractedWith:
     """interacted_with (InteractedWithFeature.scala:44-164)."""
     name: str
@@ -301,7 +365,7 @@ class FeatureEngine:
         trivial: list = []
         for cfg in self.features:
             scope = self._merge_scope(cfg)
-            if isinstance(cfg, (Relevancy, Position)):
+            if isinstance(cfg, (Relevancy, Position, LocalTime)):
                 trivial.append(cfg)
             elif scope is not None:
                 merged_groups.setdefault(scope, []).append(cfg)
@@ -332,10 +396,14 @@ class FeatureEngine:
             return cfg.scope
         if isinstance(cfg, Rate):
             return None if cfg.normalize_weight is not None else cfg.scope
-        if isinstance(cfg, (Number, Boolean, StringEncode, WordCount)):
+        if isinstance(cfg, (Number, Boolean, StringEncode, WordCount, Vector)):
             return cfg.source
         if isinstance(cfg, ItemAge):
             return "item"
+        if isinstance(cfg, (Stats, Freq, RecentItems)):
+            # pool features need last-N-WRITES frames, so each gets its own
+            # writes stream (its window must not see other features' writes)
+            return f"{cfg.scope}::pool::{cfg.name}"
         return None
 
     def _run_scope_group(self, events, base, scope, cfgs):
@@ -343,6 +411,7 @@ class FeatureEngine:
         of its features in a single sorted-partition pass. ``base`` rows
         (one per ranking-item, plus any already-attached feature columns)
         ride through as query payload; the result is base + new columns."""
+        scope = scope.split("::")[0]  # pool groups encode scope::pool::name
         ent_write = _entity_col(scope)
         ent_read = {
             "item": F.col("item_id"), "user": F.col("user_id"),
@@ -423,6 +492,101 @@ class FeatureEngine:
                         F.zip_with(c[tn], c[bn], lambda x, y: x / y.cast("double"))
                     ),
                 ))
+            elif isinstance(cfg, (Stats, Freq, RecentItems)):
+                # pool windows run over the feature's OWN write stream
+                # (this group contains only this feature, see _merge_scope)
+                if isinstance(cfg, RecentItems):
+                    sample = F.when(
+                        (F.col("event_type") == "interaction")
+                        & (F.col("interaction_type") == cfg.interaction),
+                        F.col("item_id"),
+                    )
+                    preds.append(
+                        (F.col("event_type") == "interaction")
+                        & (F.col("interaction_type") == cfg.interaction)
+                    )
+                else:
+                    sample = F.when(
+                        F.col("event_type") == "interaction",
+                        F.col("num_fields" if isinstance(cfg, Stats) else "str_fields")
+                        .getItem(cfg.field),
+                    )
+                    if isinstance(cfg, Freq):
+                        sample = sample.getItem(0)
+                    preds.append(
+                        (F.col("event_type") == "interaction") & sample.isNotNull()
+                    )
+                pname = f"__p_{cfg.name}"
+                if isinstance(cfg, (Stats, Freq)):
+                    poolw = (
+                        Window.partitionBy(ent_write)
+                        .orderBy("ts_ms", "seq")
+                        .rowsBetween(-(cfg.pool - 1), Window.currentRow)
+                    )
+                if isinstance(cfg, Stats):
+                    percs = F.percentile(
+                        sample, F.array(*[F.lit(p / 100.0) for p in cfg.percentiles])
+                    ).over(poolw)
+                    payloads[pname] = F.array(
+                        F.min(sample).over(poolw), F.max(sample).over(poolw),
+                        *[F.get(percs, i) for i in range(len(cfg.percentiles))],
+                    )
+                    dim = 2 + len(cfg.percentiles)
+                    fin = lambda c, n=f"{cfg.name}__v", d=dim: F.when(
+                        c[n].isNull(), _nan_array(d)).otherwise(c[n])
+                elif isinstance(cfg, Freq):
+                    pool = F.collect_list(sample).over(poolw)
+                    total = F.size(pool)
+                    payloads[pname] = F.map_from_entries(F.transform(
+                        F.array_distinct(pool),
+                        lambda v: F.struct(
+                            v.alias("key"),
+                            (F.size(F.filter(pool, lambda x: x == v))
+                             / total.cast("double")).alias("value"),
+                        ),
+                    ))
+                    fin = lambda c, n=f"{cfg.name}__v": c[n]
+                else:  # RecentItems: evict-on-write list, newest first
+                    frame = (
+                        Window.partitionBy(ent_write)
+                        .orderBy("ts_ms", "seq")
+                        .rowsBetween(-(cfg.count - 1), Window.currentRow)
+                    )
+                    lst = F.reverse(F.collect_list(
+                        F.struct(F.col("ts_ms").alias("ts"), sample.alias("v"))
+                    ).over(frame))
+                    cutoff = F.col("ts_ms") - F.lit(cfg.duration_ms)
+                    payloads[pname] = F.transform(
+                        F.filter(lst, lambda x: x["ts"] >= cutoff), lambda x: x["v"]
+                    )
+                    fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
+                        c[n], F.array().cast("array<string>"))
+                feats.append(MergedFeature(
+                    cfg.name, {f"{cfg.name}__v": F.col(pname)}, fin))
+            elif isinstance(cfg, Vector):
+                val = F.col("numlist_fields").getItem(cfg.field)
+                pname = f"__p_{cfg.name}"
+                payloads[pname] = F.when(F.col("event_type") == cfg.source, val)
+                preds.append((F.col("event_type") == cfg.source) & val.isNotNull())
+
+                def reduce_vec(arr, reducers=cfg.reducers):
+                    d = F.transform(arr, lambda x: x.cast("double"))
+                    total = F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
+                    m = {
+                        "min": F.array_min(d), "max": F.array_max(d),
+                        "size": F.size(d).cast("double"),
+                        "avg": total / F.size(d), "sum": total,
+                        "first": F.get(d, 0), "last": F.element_at(d, -1),
+                        "euclidean_distance": F.sqrt(
+                            F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)),
+                    }
+                    return F.array(*[m[r] for r in reducers])
+
+                dim = len(cfg.reducers)
+                fin = lambda c, n=f"{cfg.name}__v", d=dim, rv=reduce_vec: F.when(
+                    c[n].isNull(), _nan_array(d)).otherwise(rv(c[n]))
+                feats.append(MergedFeature(
+                    cfg.name, {f"{cfg.name}__v": F.col(pname)}, fin))
             elif isinstance(cfg, (Number, Boolean, StringEncode, WordCount, ItemAge)):
                 src = "item" if isinstance(cfg, ItemAge) else cfg.source
                 if isinstance(cfg, Number):
@@ -484,6 +648,8 @@ class FeatureEngine:
             ItemAge: self._attach_item_age,
             Relevancy: self._attach_relevancy,
             Position: self._attach_position,
+            LocalTime: self._attach_local_time,
+            Diversity: self._attach_diversity,
             InteractedWith: self._attach_interacted_with,
         }
         return m[type(cfg)](base, rankings, events, cfg)
@@ -622,6 +788,54 @@ class FeatureEngine:
 
     def _attach_position(self, base, rankings, events, cfg: Position):
         return base.withColumn(cfg.name, F.col("position").cast("double"))
+
+    def _attach_local_time(self, base, rankings, events, cfg: LocalTime):
+        ms = F.col("ts_ms")
+        day = F.floor(ms / F.lit(DAY_MS))
+        ts = F.timestamp_millis(ms)  # calendar parts: UTC session assumed
+        parts = {
+            # fraction of the day in [0, 1) (LocalDateTimeFeature time_of_day)
+            "time_of_day": (ms % DAY_MS) / F.lit(float(DAY_MS)),
+            "day_of_week": ((day + 3) % 7).cast("double"),  # 0=Monday, tz-free
+            "hour": F.floor((ms % DAY_MS) / 3_600_000).cast("double"),
+            "minute": F.floor((ms % 3_600_000) / 60_000).cast("double"),
+            "second": F.floor((ms % 60_000) / 1000).cast("double"),
+            "month_of_year": F.month(ts).cast("double"),
+            "year": F.year(ts).cast("double"),
+        }
+        return base.withColumn(cfg.name, parts[cfg.part])
+
+    def _attach_diversity(self, base, rankings, events, cfg: Diversity):
+        """DiversityFeature: the candidate's field value vs the ranking's
+        own distribution — numeric: value - median(first top_n items'
+        values) (:118-130); string: share of candidate's values among all
+        ranking items' values (:105-117)."""
+        if cfg.kind == "numeric":
+            val = F.col("num_fields").getItem(cfg.field)
+        else:
+            val = F.col("str_fields").getItem(cfg.field)
+        s = self._rename_series(self._scalar_series(events, "item", val), "item")
+        out = self._asof_to_base(base, rankings, s, "item", ["val"], f"_{cfg.name}")
+        raw = F.col(f"val_{cfg.name}")
+        rank_w = Window.partitionBy("ranking_id")
+        if cfg.kind == "numeric":
+            top_val = F.when(F.col("position") < cfg.top_n, raw)
+            median = F.percentile(top_val, F.lit(0.5)).over(rank_w)
+            feat = F.coalesce(raw - median, F.lit(float("nan")))
+        else:
+            all_vals = F.flatten(
+                F.collect_list(F.coalesce(raw, F.array().cast("array<string>"))).over(rank_w)
+            )
+            total = F.size(all_vals)
+            cand = F.coalesce(raw, F.array().cast("array<string>"))
+            hits = F.aggregate(
+                cand, F.lit(0),
+                lambda acc, v: acc + F.size(F.filter(all_vals, lambda x: x == v)),
+            )
+            feat = F.when(total > 0, hits / total.cast("double")).otherwise(
+                F.lit(float("nan"))
+            )
+        return out.withColumn(cfg.name, feat).drop(f"val_{cfg.name}")
 
     def _attach_interacted_with(self, base, rankings, events, cfg: InteractedWith):
         visited_s = self._bounded_list_series(events, cfg)

@@ -38,6 +38,8 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("items", T.ArrayType(RANK_ITEM)),
         T.StructField("str_fields", T.MapType(T.StringType(), T.ArrayType(T.StringType()))),
         T.StructField("num_fields", T.MapType(T.StringType(), T.DoubleType())),
+        # NumberListField (model/Field.scala:13-17)
+        T.StructField("numlist_fields", T.MapType(T.StringType(), T.ArrayType(T.DoubleType()))),
     ]
 )
 
@@ -50,13 +52,14 @@ def _next_id() -> str:
     return f"e{_COUNTER}"
 
 
-def item_event(item, ts_ms, seq, str_fields=None, num_fields=None, id=None):
+def item_event(item, ts_ms, seq, str_fields=None, num_fields=None, numlist_fields=None, id=None):
     """ItemEvent (Event.scala:25-30): item metadata upsert."""
     return dict(
         event_id=id or _next_id(), event_type="item", ts_ms=ts_ms, seq=seq,
         item_id=item, user_id=None, session_id=None, ranking_id=None,
         interaction_type=None, items=None,
         str_fields=str_fields or {}, num_fields=num_fields or {},
+        numlist_fields=numlist_fields or {},
     )
 
 
@@ -67,6 +70,7 @@ def user_event(user, ts_ms, seq, str_fields=None, num_fields=None, id=None):
         item_id=None, user_id=user, session_id=None, ranking_id=None,
         interaction_type=None, items=None,
         str_fields=str_fields or {}, num_fields=num_fields or {},
+        numlist_fields={},
     )
 
 
@@ -78,6 +82,7 @@ def ranking_event(id, items, ts_ms, seq, user=None, session=None, str_fields=Non
         interaction_type=None,
         items=[{"id": i, "relevancy": 1.0} if isinstance(i, str) else i for i in items],
         str_fields=str_fields or {}, num_fields=num_fields or {},
+        numlist_fields={},
     )
 
 
@@ -89,6 +94,7 @@ def interaction_event(item, type, ts_ms, seq, user=None, session=None, ranking=N
         item_id=item, user_id=user, session_id=session, ranking_id=ranking,
         interaction_type=type, items=None,
         str_fields=str_fields or {}, num_fields=num_fields or {},
+        numlist_fields={},
     )
 
 

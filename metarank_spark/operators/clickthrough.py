@@ -90,6 +90,7 @@ def inject_impressions(events: DataFrame) -> DataFrame:
             F.lit(None).cast(EVENT_SCHEMA["items"].dataType).alias("items"),
             F.lit(None).cast(EVENT_SCHEMA["str_fields"].dataType).alias("str_fields"),
             F.lit(None).cast(EVENT_SCHEMA["num_fields"].dataType).alias("num_fields"),
+            F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
         )
     )
     orig = events.withColumn("seq", F.col("seq") * 2)
