@@ -440,7 +440,9 @@ def _minhash_sql(threshold: float) -> str:
                    * {dd.SHINGLE_MULT} + tokens[i+3]) % {dd.HASH_MOD})) AS sh
            FROM seq WHERE len(tokens) >= 3),
     sig AS (SELECT doc_id, sh, {sigs} FROM sh),
-    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
+    bands0 AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
+    bands AS (SELECT doc_id, band FROM bands0
+              QUALIFY count(*) OVER (PARTITION BY band) <= 20),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
     verified AS (SELECT id_a, id_b,

@@ -28,6 +28,11 @@ HEADLINE = [
     "asof_join",
     "bounded_list",
     "trending",
+    "tokenize",
+    "dedup_minhash",
+    "simhash",
+    "ann_cosine",
+    "bm25",
 ]
 
 

