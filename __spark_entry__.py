@@ -239,6 +239,15 @@ def q_split_hold_last(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_time(spark: SparkSession, sf: str) -> DataFrame:
+    """SplitStrategy time split (SplitStrategy.scala:42-60): first 80% of
+    events by exact ts quantile → train."""
+    from metarank_spark.operators.splits import split_time
+
+    ev = _ev(spark, sf)
+    return split_time(ev, 0.8).select("event_id", "user_id", "split")
+
+
 def q_trending(spark: SparkSession, sf: str) -> DataFrame:
     """TrendingRecommender aggregate (ml/recommend/TrendingRecommender.scala:
     39-87): per user, sum over day-ages of count(day)*decay^age*weight per
@@ -757,6 +766,11 @@ _ORACLES: dict[str, str] = {
                  ORDER BY ts_ms DESC, event_id DESC) = 1
                THEN 'test' ELSE 'train' END AS split
         FROM ev""",
+    "split_time": f"""
+        {EV}, c AS (SELECT quantile_cont(ts_ms, 0.8) AS cut FROM ev)
+        SELECT event_id, user_id,
+          CASE WHEN ts_ms <= cut THEN 'train' ELSE 'test' END AS split
+        FROM ev, c""",
     "trending": f"""
         {EV}, d AS (
           SELECT user_id, event_type, floor(ts_ms/{MS_DAY})::BIGINT AS day
@@ -789,6 +803,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "item_age": q_item_age,
     "local_time": q_local_time,
     "split_hold_last": q_split_hold_last,
+    "split_time": q_split_time,
     "trending": q_trending,
     **_TEXT_QUERIES,
 }

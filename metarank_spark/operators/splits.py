@@ -17,12 +17,14 @@ def split_random(df: DataFrame, ratio: float = 0.8, key: str = "ranking_id") -> 
     )
 
 
-def split_time(df: DataFrame, ratio: float = 0.8, ts: str = "ts_ms") -> DataFrame:
+def split_time(df: DataFrame, ratio: float = 0.8, ts: str = "ts_ms",
+               exact: bool = True) -> DataFrame:
     """TimeSplit (:42-60): sort by ts, first ratio → train. The cutoff is
-    the ratio-quantile of ts (single tiny agg, broadcast back)."""
-    cutoff = df.agg(
-        F.percentile_approx(ts, ratio, 10_000).alias("cut")
-    )
+    the ratio-quantile of ts (single tiny agg, broadcast back). ``exact``
+    uses the exact interpolated percentile (deterministic, matches the
+    DuckDB oracle); pass False for percentile_approx on huge inputs."""
+    q = F.percentile(ts, F.lit(ratio)) if exact else F.percentile_approx(ts, ratio, 10_000)
+    cutoff = df.agg(q.alias("cut"))
     return df.join(F.broadcast(cutoff)).withColumn(
         "split", F.when(F.col(ts) <= F.col("cut"), "train").otherwise("test")
     ).drop("cut")

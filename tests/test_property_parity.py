@@ -1,0 +1,115 @@
+"""Property test: on randomized event streams the Spark engine's ranking
+snapshots equal the brute-force Python oracle (tests/oracle.py) — the
+zero-leakage / allclose parity contract over arbitrary interleavings,
+including same-timestamp collisions and multi-day gaps (the
+anchor-at-last-bucket edge)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from metarank_spark.engine import (
+    FeatureEngine,
+    InteractionCount,
+    Number,
+    Rate,
+    WindowCount,
+)
+from metarank_spark.events import events_df
+from tests.oracle import fold
+
+T0 = 1_704_067_200_000
+DAY = 86_400_000
+
+
+def gen_events(seed: int, n_users=6, n_items=8, n_events=160):
+    """Randomized stream with hostile properties: same-ts collisions
+    (ts granularity 1h), out-of-nothing items, gaps up to 20 days."""
+    rnd = random.Random(seed)
+    rows = []
+    seq = 0
+    rid = 0
+    for _ in range(n_events):
+        seq += 1
+        ts = T0 + rnd.randrange(0, 20 * DAY, 3_600_000)  # coarse → collisions
+        kind = rnd.random()
+        item = f"p{rnd.randrange(n_items)}"
+        user = f"u{rnd.randrange(n_users)}"
+        if kind < 0.25:
+            rid += 1
+            items = rnd.sample([f"p{i}" for i in range(n_items)], k=3)
+            rows.append(dict(
+                event_id=f"r{rid}", event_type="ranking", ts_ms=ts, seq=seq,
+                item_id=None, user_id=user, session_id=user, ranking_id=None,
+                interaction_type=None,
+                items=[{"id": i, "relevancy": 1.0} for i in items],
+                str_fields={}, num_fields={}, numlist_fields={},
+            ))
+        elif kind < 0.55:
+            rows.append(dict(
+                event_id=f"c{seq}", event_type="interaction", ts_ms=ts, seq=seq,
+                item_id=item, user_id=user, session_id=user, ranking_id=None,
+                interaction_type="click", items=None,
+                str_fields={}, num_fields={}, numlist_fields={},
+            ))
+        elif kind < 0.85:
+            rows.append(dict(
+                event_id=f"i{seq}", event_type="interaction", ts_ms=ts, seq=seq,
+                item_id=item, user_id=user, session_id=user, ranking_id=None,
+                interaction_type="impression", items=None,
+                str_fields={}, num_fields={}, numlist_fields={},
+            ))
+        else:
+            rows.append(dict(
+                event_id=f"m{seq}", event_type="item", ts_ms=ts, seq=seq,
+                item_id=item, user_id=None, session_id=None, ranking_id=None,
+                interaction_type=None, items=None,
+                str_fields={}, num_fields={"price": round(rnd.uniform(1, 100), 2)},
+                numlist_fields={},
+            ))
+    # stream order: sort by (ts, seq), then reassign seq = stream position
+    rows.sort(key=lambda r: (r["ts_ms"], r["seq"]))
+    for i, r in enumerate(rows):
+        r["seq"] = i
+    return rows
+
+
+def close(a, b):
+    if isinstance(a, list):
+        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+    if a is None or b is None:
+        return a is b
+    if math.isnan(a):
+        return math.isnan(b)
+    return abs(a - b) <= 1e-9
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 1337])
+def test_engine_matches_bruteforce_oracle(spark, seed):
+    rows = gen_events(seed)
+    periods = (7,)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("wcnt", "click", periods),
+        Rate("ctr", "click", "impression", periods),
+        Number("price", "price"),
+    ])
+    got = {
+        (r["ranking_id"], r["item_id"]): r.asDict()
+        for r in eng.ranking_values(events_df(spark, rows)).collect()
+    }
+    exp = fold(rows, periods)
+    assert set(got) == set(exp)
+    mismatches = []
+    for k, e in exp.items():
+        g = got[k]
+        for feat in ("clicks", "price"):
+            if not close(g[feat], e[feat]):
+                mismatches.append((k, feat, g[feat], e[feat]))
+        for feat in ("wcnt", "ctr"):
+            if not close(list(g[feat]), e[feat]):
+                mismatches.append((k, feat, g[feat], e[feat]))
+    assert not mismatches, f"{len(mismatches)} mismatches; first 5: {mismatches[:5]}"
