@@ -137,6 +137,15 @@ class Position:
 
 
 @dataclass(frozen=True)
+class RandomFeature:
+    """random (RandomFeature.scala:34): uniform noise column — excluded
+    from golden/allclose checks like the reference's own tests exclude it;
+    seedable for reproducible training runs."""
+    name: str
+    seed: int | None = None
+
+
+@dataclass(frozen=True)
 class LocalTime:
     """local_time (LocalDateTimeFeature.scala:25-28): calendar component of
     the ranking timestamp (UTC). parts: time_of_day | day_of_week |
@@ -365,7 +374,7 @@ class FeatureEngine:
         trivial: list = []
         for cfg in self.features:
             scope = self._merge_scope(cfg)
-            if isinstance(cfg, (Relevancy, Position, LocalTime)):
+            if isinstance(cfg, (Relevancy, Position, LocalTime, RandomFeature)):
                 trivial.append(cfg)
             elif scope is not None:
                 merged_groups.setdefault(scope, []).append(cfg)
@@ -649,6 +658,7 @@ class FeatureEngine:
             Relevancy: self._attach_relevancy,
             Position: self._attach_position,
             LocalTime: self._attach_local_time,
+            RandomFeature: self._attach_random,
             Diversity: self._attach_diversity,
             InteractedWith: self._attach_interacted_with,
         }
@@ -788,6 +798,10 @@ class FeatureEngine:
 
     def _attach_position(self, base, rankings, events, cfg: Position):
         return base.withColumn(cfg.name, F.col("position").cast("double"))
+
+    def _attach_random(self, base, rankings, events, cfg: RandomFeature):
+        r = F.rand(cfg.seed) if cfg.seed is not None else F.rand()
+        return base.withColumn(cfg.name, r)
 
     def _attach_local_time(self, base, rankings, events, cfg: LocalTime):
         ms = F.col("ts_ms")
