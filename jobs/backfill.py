@@ -4,9 +4,14 @@ Usage (local or cluster — on a cluster drop the --master and let
 spark-submit decide):
 
     python -m zipfile -c /tmp/metarank_spark.zip metarank_spark
-    spark-submit --py-files /tmp/metarank_spark.zip jobs/backfill.py \
+    spark-submit --driver-memory 16g --py-files /tmp/metarank_spark.zip \
+        jobs/backfill.py \
         --events /path/events.parquet --output /path/features \
         --n-ranges 64 [--synthetic-users 100000] [--features features.json]
+
+(local mode runs executors inside the driver JVM — size --driver-memory
+accordingly; spark.driver.memory set in-session is ignored by a launched
+JVM.)
 
 Features come from a JSON list of {type: ..., ...kwargs} mirroring the
 reference's YAML config (model/FeatureSchema.scala:44-75). The job prints

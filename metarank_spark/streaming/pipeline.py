@@ -101,6 +101,28 @@ def streaming_interaction_count(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000, entity: str = "user_id"
+) -> DataFrame:
+    """Streaming gap-sessionization via Spark's native session_window —
+    the incremental twin of plans/sessionize.py (TrainBuffer's event-time
+    eviction). Watermark bounds state: sessions close once event time
+    passes gap beyond their end. Emits one row per closed session with
+    bounds and event count (session_bounds parity)."""
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    with_ts = events.withColumn("__et", ts).withWatermark("__et", f"{gap_ms // 1000} seconds")
+    return (
+        with_ts.groupBy(F.col(entity), F.session_window("__et", f"{gap_ms // 1000} seconds"))
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("session_dur_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+
+
 def run_stream_to_parquet(
     result: DataFrame, out_path: str, checkpoint: str, await_sec: float | None = None
 ):

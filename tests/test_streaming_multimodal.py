@@ -81,6 +81,45 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
     assert vals == [1, 2, 3, 4, 5]  # state carried across restart
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from metarank_spark.plans.sessionize import session_bounds, sessionize
+    from metarank_spark.streaming.pipeline import streaming_sessionize
+
+    rows, seq = [], 0
+    for u in range(3):
+        for s in range(2):  # two sessions per user, 45-min apart
+            base = T0 + u * 7_200_000 + s * 2_700_000
+            for k in range(3):
+                seq += 1
+                rows.append(interaction_event("p1", "click", base + k * 60_000, seq, user=f"u{u}"))
+    ev = events_df(spark, rows)
+    src = str(tmp_path / "sess_in")
+    ev.write.parquet(src)
+
+    stream = stream_events(spark, src)
+    out_path, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = (
+        streaming_sessionize(stream, gap_ms=30 * 60 * 1000)
+        .writeStream.format("parquet")
+        .option("path", out_path).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start_ms"]): (r["n_events"], r["session_dur_ms"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch = session_bounds(sessionize(ev))
+    exp = {
+        (r["user_id"], r["session_start_ms"]): (r["n_events"], r["session_dur_ms"])
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must match the batch computation exactly
+    assert got
+    assert all(got[k] == exp[k] for k in got)
+
+
 def test_multimodal_features_deterministic(spark):
     media = synthetic_media(spark, n=32)
     out = extract_features(media, fake=True)
