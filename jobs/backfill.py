@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--entity", default="user_id")
     ap.add_argument("--features", help="JSON file with feature specs")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
+    ap.add_argument("--materialize-input", action="store_true",
+                    help="stage events once as a bucketed+sorted table before the range loop")
     args = ap.parse_args(argv)
 
     from metarank_spark.checkpoint import backfill, load_manifests
@@ -94,10 +96,13 @@ def main(argv: list[str] | None = None) -> int:
             spec = json.load(fh)
     engine = FeatureEngine(parse_features(spec))
 
-    completed = backfill(events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity)
+    completed = backfill(
+        events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,
+        materialize_input=args.materialize_input,
+    )
     for m in completed:
         print(json.dumps(m))
-    all_m = load_manifests(args.output)
+    all_m = {k: m for k, m in load_manifests(args.output).items() if k >= 0}
     total_rows = sum(m["rows"] for m in all_m.values())
     total_sec = sum(m["wall_sec"] for m in all_m.values())
     print(json.dumps({

@@ -81,6 +81,7 @@ def backfill(
     n_ranges: int = 8,
     entity: str = "user_id",
     fail_after: int | None = None,
+    materialize_input: bool = False,
 ) -> list[dict]:
     """Run the engine's training snapshot per entity range with
     resume-from-manifest. Returns the manifests of THIS run's completed
@@ -99,6 +100,24 @@ def backfill(
     done = {
         rid: m for rid, m in load_manifests(output).items() if m["input_fingerprint"] == fp
     }
+    if materialize_input:
+        # stage the (possibly computed/synthetic) event stream once as a
+        # bucketed+sorted table so per-range passes scan columnar input
+        # instead of re-deriving it; resume-safe via a phase manifest
+        from metarank_spark.sources.tables import write_events_table
+
+        staged = os.path.join(output, "_input")
+        stage_m = load_manifests(output).get(-1)
+        if not (stage_m and stage_m["input_fingerprint"] == fp):
+            t0 = time.perf_counter()
+            write_events_table(events, staged, entity=entity)
+            write_manifest(output, {
+                "range_id": -1, "input_fingerprint": fp, "rows": None,
+                "output": staged, "wall_sec": round(time.perf_counter() - t0, 3),
+                "rows_per_sec": None, "entity": entity, "n_ranges": n_ranges,
+            })
+        events = events.sparkSession.read.parquet(staged).drop("entity_bucket")
+        done.pop(-1, None)
     completed = []
     for rid in range(n_ranges):
         if rid in done:

@@ -108,6 +108,46 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+def build_term_freq(docs: DataFrame, text: str = "text") -> dict:
+    """TermFreqDic builder (matcher/BM25Matcher.scala:68-85 + the
+    `termfreq` CLI): corpus document frequencies per term, doc count, and
+    average doc length — the broadcastable BM25 dictionary. One
+    explode+groupBy pass; the dict itself is small (vocab-sized)."""
+    w = words_expr(text)
+    stats = docs.select(F.size(w).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    dfs = (
+        docs.select(F.explode(F.array_distinct(w)).alias("term"))
+        .groupBy("term").count()
+        .collect()
+    )
+    return {
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "df": {r["term"]: r["count"] for r in dfs},
+    }
+
+
+def bm25_score_expr(text: Column | str, terms: list[str], dic: dict,
+                    k1: float = 1.2, b: float = 0.75) -> Column:
+    """BM25 against a prebuilt TermFreq dict (BM25Matcher.scala:26-40:
+    IDF at :34, tf normalization at :35)."""
+    w = words_expr(text)
+    dl = F.size(w).cast("double")
+    score = F.lit(0.0)
+    import math as _math
+
+    for t in terms:
+        dfc = dic["df"].get(t, 0)
+        idf = _math.log(1.0 + (dic["n_docs"] - dfc + 0.5) / (dfc + 0.5))
+        tf = F.size(F.filter(w, lambda x: x == F.lit(t))).cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / F.lit(float(dic["avgdl"]))))
+        )
+    return score
+
+
 # deterministic two-profile-or-more language ID (n-gram/stopword heuristic).
 LANG_PROFILES = {
     "en": ("the", "a", "and"),

@@ -70,6 +70,19 @@ def test_backfill_resume(spark, tmp_path):
     assert all("input_fingerprint" in m and m["rows_per_sec"] is not None for m in all_m.values())
 
 
+def test_backfill_materialized_input_same_result(spark, tmp_path):
+    ev = _events(spark)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    a, b = str(tmp_path / "plain"), str(tmp_path / "staged")
+    backfill(ev, eng, a, n_ranges=2)
+    backfill(ev, eng, b, n_ranges=2, materialize_input=True)
+    assert _collect_output(spark, a) == _collect_output(spark, b)
+    assert os.path.isdir(os.path.join(b, "_input"))
+    # resume with staged input reuses the stage (manifest -1 present)
+    from metarank_spark.checkpoint import load_manifests
+    assert -1 in load_manifests(b)
+
+
 def test_backfill_input_change_invalidates(spark, tmp_path):
     ev = _events(spark)
     eng = FeatureEngine([InteractionCount("clicks", "click")])
