@@ -11,7 +11,12 @@ functions) so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust against being imported by file path (driver-side importlib)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
