@@ -253,6 +253,25 @@ def q_split_time(spark: SparkSession, sf: str) -> DataFrame:
     return split_time(ev, 0.8).select("event_id", "user_id", "split")
 
 
+def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-flight validation aggregates (validate/checks/* analog for a
+    generic event table): row/id/null/order integrity in one pass."""
+    ev = _ev(spark, sf)
+    w = Window.orderBy("event_id")
+    staged = ev.select(
+        "event_id", "ts_ms", "user_id", "value",
+        F.lag("ts_ms").over(w).alias("__prev"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.col("user_id").isNull().cast("int")).cast("long").alias("null_users"),
+        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("null_values"),
+        F.sum(F.when(F.col("ts_ms") < F.col("__prev"), 1).otherwise(0)).cast("long")
+        .alias("order_violations"),
+    )
+
+
 def q_trending(spark: SparkSession, sf: str) -> DataFrame:
     """TrendingRecommender aggregate (ml/recommend/TrendingRecommender.scala:
     39-87): per user, sum over day-ages of count(day)*decay^age*weight per
@@ -771,6 +790,14 @@ _ORACLES: dict[str, str] = {
                  ORDER BY ts_ms DESC, event_id DESC) = 1
                THEN 'test' ELSE 'train' END AS split
         FROM ev""",
+    "data_quality": f"""
+        {EV}, g AS (SELECT *, lag(ts_ms) OVER (ORDER BY event_id) AS prev FROM ev)
+        SELECT count(*)::BIGINT AS n_rows,
+               count(DISTINCT event_id)::BIGINT AS n_ids,
+               sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_users,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_values,
+               sum(CASE WHEN ts_ms < prev THEN 1 ELSE 0 END)::BIGINT AS order_violations
+        FROM g""",
     "split_time": f"""
         {EV}, c AS (SELECT quantile_cont(ts_ms, 0.8) AS cut FROM ev)
         SELECT event_id, user_id,
@@ -809,6 +836,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_time": q_local_time,
     "split_hold_last": q_split_hold_last,
     "split_time": q_split_time,
+    "data_quality": q_data_quality,
     "trending": q_trending,
     **_TEXT_QUERIES,
 }

@@ -210,6 +210,17 @@ class Diversity:
 
 
 @dataclass(frozen=True)
+class MapFeature:
+    """MapFeature primitive (MemMapFeature.scala:12-24): PutTuple upserts
+    into a per-entity map; the snapshot is the latest value per map key
+    strictly before the ranking. key/value come from interaction fields."""
+    name: str
+    key_field: str
+    value_field: str
+    scope: str = "user"
+
+
+@dataclass(frozen=True)
 class InteractedWith:
     """interacted_with (InteractedWithFeature.scala:44-164)."""
     name: str
@@ -659,6 +670,7 @@ class FeatureEngine:
             Position: self._attach_position,
             LocalTime: self._attach_local_time,
             RandomFeature: self._attach_random,
+            MapFeature: self._attach_map,
             Diversity: self._attach_diversity,
             InteractedWith: self._attach_interacted_with,
         }
@@ -850,6 +862,42 @@ class FeatureEngine:
                 F.lit(float("nan"))
             )
         return out.withColumn(cfg.name, feat).drop(f"val_{cfg.name}")
+
+    def _attach_map(self, base, rankings, events, cfg: MapFeature):
+        """Two-phase exact plan bounded by per-entity key cardinality (the
+        same bound MemMapFeature's state has): sub-stream per
+        (entity, mapKey) carries the latest value; rankings join the
+        entity's key dimension (small) and as-of each key, then fold back
+        into one map column."""
+        ent = _entity_col(cfg.scope)
+        writes = events.filter(
+            (F.col("event_type") == "interaction")
+            & F.col("str_fields").getItem(cfg.key_field).getItem(0).isNotNull()
+            & F.col("num_fields").getItem(cfg.value_field).isNotNull()
+        ).select(
+            ent.alias("entity"), "ts_ms", "seq",
+            F.col("str_fields").getItem(cfg.key_field).getItem(0).alias("mkey"),
+            F.col("num_fields").getItem(cfg.value_field).alias("mval"),
+        )
+        ent_read = {"user": "user_id", "session": "session_id", "item": "item_id"}[cfg.scope]
+        keys_dim = writes.select("entity", "mkey").distinct()
+        left = rankings.select(
+            F.col(ent_read).alias("entity"), "ts_ms", "seq", "ranking_id"
+        ).join(keys_dim, "entity")
+        joined = asof_join(
+            left, writes, on=["entity", "mkey"],
+            left_seq="seq", right_seq="seq", values=["mval"], strict=True,
+        )
+        per_rank = (
+            joined.filter(F.col("mval_asof").isNotNull())
+            .groupBy("ranking_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("mkey"), F.col("mval_asof")))
+                ).alias(cfg.name)
+            )
+        )
+        return base.join(per_rank, "ranking_id", "left")
 
     def _attach_interacted_with(self, base, rankings, events, cfg: InteractedWith):
         visited_s = self._bounded_list_series(events, cfg)

@@ -42,7 +42,9 @@ COUNTER_OUT = T.StructType(
         T.StructField("value", T.LongType()),
     ]
 )
-COUNTER_STATE = T.StructType([T.StructField("total", T.LongType())])
+COUNTER_STATE = T.StructType(
+    [T.StructField("total", T.LongType()), T.StructField("last_emit", T.LongType())]
+)
 
 
 def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -56,35 +58,48 @@ def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
     )
 
 
-def _counter_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    """Running interaction counter per entity — the streaming twin of
-    MemCounter (fstore/memory/MemCounter.scala:13-22): each write
-    increments, the emitted value includes the write itself
-    (FeatureValueFlow.scala:29-42)."""
-    total = state.get[0] if state.exists else 0
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_ms", "seq"])
-        counts = range(total + 1, total + len(pdf) + 1)
-        out.append(
-            pd.DataFrame(
+def _make_counter_fn(refresh_ms: int):
+    def _counter_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Running interaction counter per entity — the streaming twin of
+        MemCounter (fstore/memory/MemCounter.scala:13-22): each write
+        increments, the emitted value includes the write itself
+        (FeatureValueFlow.scala:29-42). ``refresh_ms`` is the refresh gate
+        (FeatureValueFlow.scala:64-80): suppress emissions until refresh
+        elapsed since the last emitted ts for this key (0 = always emit,
+        the reference's test default)."""
+        total, last_emit = state.get if state.exists else (0, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            ts = pdf["ts_ms"].values
+            counts = []
+            emit = []
+            for t in ts:
+                total += 1
+                counts.append(total)
+                ok = refresh_ms == 0 or last_emit is None or t - last_emit >= refresh_ms
+                emit.append(ok)
+                if ok:
+                    last_emit = int(t)
+            frame = pd.DataFrame(
                 {
                     "entity": key[0],
-                    "ts_ms": pdf["ts_ms"].values,
+                    "ts_ms": ts,
                     "seq": pdf["seq"].values,
-                    "value": list(counts),
+                    "value": counts,
                 }
             )
-        )
-        total += len(pdf)
-    state.update((total,))
-    yield from out
+            out.append(frame[pd.Series(emit, index=frame.index)])
+        state.update((total, last_emit))
+        yield from out
+
+    return _counter_fn
 
 
 def streaming_interaction_count(
-    events: DataFrame, interaction: str, entity: str = "user_id"
+    events: DataFrame, interaction: str, entity: str = "user_id", refresh_ms: int = 0
 ) -> DataFrame:
     """Per-event lifetime interaction count as an incrementally maintained
     stream (vectorized Arrow state op, no per-row Python)."""
@@ -93,7 +108,7 @@ def streaming_interaction_count(
         & (F.col("interaction_type") == interaction)
     ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
     return writes.groupBy("entity").applyInPandasWithState(
-        _counter_fn,
+        _make_counter_fn(refresh_ms),
         outputStructType=COUNTER_OUT,
         stateStructType=COUNTER_STATE,
         outputMode="append",
