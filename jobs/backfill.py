@@ -44,12 +44,20 @@ def parse_features(spec: list[dict]):
         "relevancy": E.Relevancy,
         "position": E.Position,
         "interacted_with": E.InteractedWith,
+        "local_time": E.LocalTime,
+        "vector": E.Vector,
+        "stats": E.Stats,
+        "freq": E.Freq,
+        "recent_items": E.RecentItems,
+        "diversity": E.Diversity,
+        "map": E.MapFeature,
+        "random": E.RandomFeature,
     }
     out = []
     for f in spec:
         f = dict(f)
         t = f.pop("type")
-        for k in ("periods", "values", "fields"):
+        for k in ("periods", "values", "fields", "reducers", "percentiles"):
             if k in f and isinstance(f[k], list):
                 f[k] = tuple(f[k])
         out.append(types[t](**f))
