@@ -13,9 +13,12 @@ import pytest
 
 from metarank_spark.engine import (
     FeatureEngine,
+    Freq,
     InteractionCount,
     Number,
     Rate,
+    RecentItems,
+    Stats,
     WindowCount,
 )
 from metarank_spark.events import events_df
@@ -70,6 +73,12 @@ def gen_events(seed: int, n_users=6, n_items=8, n_events=160):
                 str_fields={}, num_fields={"price": round(rnd.uniform(1, 100), 2)},
                 numlist_fields={},
             ))
+    # enrich interactions with pool-sample fields
+    for r in rows:
+        if r["event_type"] == "interaction":
+            h = (r["seq"] * 2654435761) % 97
+            r["num_fields"] = {"price": float(h)}
+            r["str_fields"] = {"kind": [["a", "b", "c"][h % 3]]}
     # stream order: sort by (ts, seq), then reassign seq = stream position
     rows.sort(key=lambda r: (r["ts_ms"], r["seq"]))
     for i, r in enumerate(rows):
@@ -96,6 +105,9 @@ def test_engine_matches_bruteforce_oracle(spark, seed):
         WindowCount("wcnt", "click", periods),
         Rate("ctr", "click", "impression", periods),
         Number("price", "price"),
+        Stats("st", "price", pool=5, percentiles=(50,)),
+        Freq("fr", "kind", pool=5),
+        RecentItems("rec", "click", count=3, scope="user"),
     ])
     got = {
         (r["ranking_id"], r["item_id"]): r.asDict()
@@ -109,7 +121,14 @@ def test_engine_matches_bruteforce_oracle(spark, seed):
         for feat in ("clicks", "price"):
             if not close(g[feat], e[feat]):
                 mismatches.append((k, feat, g[feat], e[feat]))
-        for feat in ("wcnt", "ctr"):
+        for feat in ("wcnt", "ctr", "st"):
             if not close(list(g[feat]), e[feat]):
                 mismatches.append((k, feat, g[feat], e[feat]))
+        if (g["fr"] or None) != (e["fr"] or None) and not (
+            g["fr"] and e["fr"] and set(g["fr"]) == set(e["fr"])
+            and all(abs(g["fr"][x] - e["fr"][x]) < 1e-9 for x in g["fr"])
+        ):
+            mismatches.append((k, "fr", g["fr"], e["fr"]))
+        if list(g["rec"] or []) != list(e["rec"]):
+            mismatches.append((k, "rec", g["rec"], e["rec"]))
     assert not mismatches, f"{len(mismatches)} mismatches; first 5: {mismatches[:5]}"
