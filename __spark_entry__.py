@@ -412,7 +412,9 @@ def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
     (NumVectorFeature.scala:28,192)."""
     emb = load_embeddings(spark, sf)
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    avg = F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / F.size(e)
+    avg = F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / F.nullif(
+        F.size(e).cast("double"), F.lit(0.0)
+    )
     return emb.select(
         "vec_id",
         F.round(F.array_min(e), 6).alias("v_min"),
@@ -600,7 +602,7 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT vec_id,
           round(list_min(v), 6) AS v_min,
           round(list_max(v), 6) AS v_max,
-          round(list_sum(v) / len(v), 6) AS v_avg,
+          round(list_sum(v) / nullif(len(v), 0), 6) AS v_avg,
           len(v)::BIGINT AS v_dim
         FROM e""",
     "source_stats": f"""{SEQ}
@@ -714,7 +716,7 @@ _ORACLES: dict[str, str] = {
         SELECT {KEYS},
           (10.0 + (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id
               ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
-          / (10.0 * (gb7::DOUBLE / gt7::DOUBLE)
+          / (10.0 * (gb7::DOUBLE / nullif(gt7, 0)::DOUBLE)
              + (sum(v) OVER ({W_ROWS}) - coalesce(sum(v) OVER (PARTITION BY user_id
                  ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
           AS nrate7

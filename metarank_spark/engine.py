@@ -592,15 +592,18 @@ class FeatureEngine:
                 def reduce_vec(arr, reducers=cfg.reducers):
                     d = F.transform(arr, lambda x: x.cast("double"))
                     total = F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
+                    # nullif guards: ANSI mode (Spark 4 default) raises
+                    # DIVIDE_BY_ZERO instead of returning NaN/Infinity
                     m = {
                         "min": F.array_min(d), "max": F.array_max(d),
                         "size": F.size(d).cast("double"),
-                        "avg": total / F.size(d), "sum": total,
+                        "avg": total / F.nullif(F.size(d).cast("double"), F.lit(0.0)),
+                        "sum": total,
                         "first": F.get(d, 0), "last": F.element_at(d, -1),
                         "euclidean_distance": F.sqrt(
                             F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)),
                     }
-                    return F.array(*[m[r] for r in reducers])
+                    return F.array(*[F.coalesce(m[r], F.lit(float("nan"))) for r in reducers])
 
                 dim = len(cfg.reducers)
                 fin = lambda c, n=f"{cfg.name}__v", d=dim, rv=reduce_vec: F.when(

@@ -148,7 +148,9 @@ def rate_normalized(
     for p in periods:
         t = bucketed_window_count(F.col("event_type") == top, entity, F.col("__bucket"), p, *ORDER)
         bo = bucketed_window_count(F.col("event_type") == bottom, entity, F.col("__bucket"), p, *ORDER)
-        g_ratio = F.col(f"__gb{p}") / F.col(f"__gt{p}").cast("double")
+        # nullif: ANSI mode raises on /0; an empty global-top window reads
+        # as missing (null) rather than crashing the job
+        g_ratio = F.col(f"__gb{p}") / F.nullif(F.col(f"__gt{p}").cast("double"), F.lit(0.0))
         newcols[f"{out_prefix}{p}"] = (F.lit(w) + t) / (F.lit(w) * g_ratio + bo)
     out = out.withColumns(newcols)
     return out.drop("__bucket", *[c for p in periods for c in (f"__gt{p}", f"__gb{p}")])
