@@ -102,14 +102,35 @@ def events_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, schema=EVENT_SCHEMA)
 
 
-def check_ordering(events: DataFrame) -> DataFrame:
+def check_ordering(events: DataFrame, partitions: int | None = None) -> DataFrame:
     """CheckOrderingPipe analog (flow/CheckOrderingPipe.scala:12-27): assert
     the (ts_ms, seq) order is a valid total order — seq strictly increasing
-    implies ts nondecreasing. Returns violating rows (empty = sorted)."""
+    implies ts nondecreasing. Returns violating rows (empty = sorted).
+
+    Distributed: range-partition by seq, lag-check within partitions, and
+    compare boundary (min/max per partition) pairs — no global single-
+    partition window, so this scales to the full event volume."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("seq")
-    prev_ts = F.lag("ts_ms").over(w)
-    return events.select("event_id", "ts_ms", "seq", prev_ts.alias("prev_ts")).filter(
-        F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts"))
+    spark = events.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    ranged = events.select("event_id", "ts_ms", "seq").repartitionByRange(n, "seq")
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("seq")
+    inner = ranged.select(
+        "event_id", "ts_ms", "seq", F.lag("ts_ms").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts")))
+
+    # boundary pairs: last ts of partition k must be <= first ts of k+1
+    bounds = ranged.groupBy("__pid").agg(
+        F.min(F.struct("seq", "ts_ms", "event_id")).alias("first"),
+        F.max(F.struct("seq", "ts_ms", "event_id")).alias("last"),
     )
+    bw = Window.orderBy(F.col("first.seq"))  # one row per partition: tiny
+    cross = bounds.select(
+        F.col("first.event_id").alias("event_id"),
+        F.col("first.ts_ms").alias("ts_ms"),
+        F.col("first.seq").alias("seq"),
+        F.lag("last.ts_ms").over(bw).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts")))
+    return inner.unionByName(cross).drop("__pid")

@@ -16,12 +16,10 @@ def _agg1(df: DataFrame, *cols) -> dict:
 
 def check_event_order(events: DataFrame) -> dict:
     """EventOrderValidation.scala:12-27: ts must be nondecreasing in
-    stream (seq) order."""
-    w = Window.orderBy("seq")
-    bad = events.select(
-        (F.col("ts_ms") < F.lag("ts_ms").over(w)).alias("viol")
-    ).filter(F.col("viol"))
-    n = bad.count()
+    stream (seq) order (distributed range-partitioned check)."""
+    from metarank_spark.events import check_ordering
+
+    n = check_ordering(events).count()
     return {"check": "event_order", "ok": n == 0, "details": f"{n} regressions"}
 
 
