@@ -116,6 +116,84 @@ def streaming_interaction_count(
     )
 
 
+WCOUNT_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("wcnt", T.ArrayType(T.DoubleType())),
+    ]
+)
+# state = the PeriodicCounter bucket map (MemPeriodicCounter.scala:16-27),
+# truncated to the oldest bucket any configured period can reach
+WCOUNT_STATE = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_wcount_fn(periods: tuple[int, ...], bucket_ms: int):
+    max_p = max(periods)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            buckets, counts = state.get
+            m = dict(zip(buckets, counts))
+        else:
+            m = {}
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            vals = []
+            for t in pdf["ts_ms"].values:
+                b = int(t) // bucket_ms
+                m[b] = m.get(b, 0) + 1
+                last = max(m)
+                vals.append([
+                    float(sum(v for bb, v in m.items() if last - p <= bb <= last))
+                    for p in periods
+                ])
+            out.append(pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+                "wcnt": vals,
+            }))
+        # evict buckets no period can ever reach again (bounded state)
+        last = max(m)
+        m = {b: v for b, v in m.items() if b >= last - max_p}
+        state.update((list(m.keys()), list(m.values())))
+        yield from out
+
+    return fn
+
+
+def streaming_window_count(
+    events: DataFrame,
+    interaction: str,
+    periods: tuple[int, ...] = (7,),
+    bucket_ms: int = 86_400_000,
+    entity: str = "item_id",
+) -> DataFrame:
+    """PeriodicCounter as an incrementally maintained stream: at each
+    matching interaction emit the anchor-at-last-bucket window vector
+    (model/Feature.scala:142-161 semantics). State is the bucket map,
+    evicted past max(periods) — O(max_period) longs per key."""
+    writes = events.filter(
+        (F.col("event_type") == "interaction")
+        & (F.col("interaction_type") == interaction)
+    ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
+    return writes.groupBy("entity").applyInPandasWithState(
+        _make_wcount_fn(periods, bucket_ms),
+        outputStructType=WCOUNT_OUT,
+        stateStructType=WCOUNT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessionize(
     events: DataFrame, gap_ms: int = 30 * 60 * 1000, entity: str = "user_id"
 ) -> DataFrame:

@@ -81,6 +81,51 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
     assert vals == [1, 2, 3, 4, 5]  # state carried across restart
 
 
+def test_streaming_window_count_matches_batch_series(spark, tmp_path):
+    """The streaming periodic counter's per-write emissions equal the batch
+    engine's write-time series (operators/merge semantics), incl. the
+    anchor-at-last-bucket behavior across day gaps."""
+    from metarank_spark.streaming.pipeline import streaming_window_count
+    from tests.test_property_parity import gen_events
+
+    rows = [r for r in gen_events(11) if r["event_type"] == "interaction"
+            and r["interaction_type"] == "click"]
+    for i, r in enumerate(rows):
+        r["seq"] = i
+    ev = events_df(spark, rows)
+    src = str(tmp_path / "wc_in")
+    ev.write.parquet(src)
+
+    stream = stream_events(spark, src)
+    out_path, ckpt = str(tmp_path / "wc_out"), str(tmp_path / "wc_ckpt")
+    q = (
+        streaming_window_count(stream, "click", periods=(7,))
+        .writeStream.format("parquet")
+        .option("path", out_path).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["entity"], r["seq"]): list(r["wcnt"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+    # batch oracle: python fold (independent of both implementations)
+    from collections import defaultdict
+    m = defaultdict(dict)
+    exp = {}
+    DAY_MS = 86_400_000
+    for r in sorted(rows, key=lambda x: (x["ts_ms"], x["seq"])):
+        b = r["ts_ms"] // DAY_MS
+        d = m[r["item_id"]]
+        d[b] = d.get(b, 0) + 1
+        last = max(d)
+        exp[(r["item_id"], r["seq"])] = [
+            float(sum(v for bb, v in d.items() if last - 7 <= bb <= last))
+        ]
+    assert got == exp
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     from metarank_spark.plans.sessionize import session_bounds, sessionize
     from metarank_spark.streaming.pipeline import streaming_sessionize
