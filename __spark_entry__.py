@@ -255,21 +255,21 @@ def q_split_time(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_data_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Pre-flight validation aggregates (validate/checks/* analog for a
-    generic event table): row/id/null/order integrity in one pass."""
+    generic event table): row/id/null/order integrity. Ordering violations
+    use the range-partitioned check_ordering (lag within seq ranges +
+    boundary-pair compare) — no unpartitioned global lag window, so the
+    full event table never lands in one partition."""
+    from metarank_spark.events import order_violation_count
+
     ev = _ev(spark, sf)
-    w = Window.orderBy("event_id")
-    staged = ev.select(
-        "event_id", "ts_ms", "user_id", "value",
-        F.lag("ts_ms").over(w).alias("__prev"),
-    )
-    return staged.agg(
+    agg = ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
         F.sum(F.col("user_id").isNull().cast("int")).cast("long").alias("null_users"),
         F.sum(F.col("value").isNull().cast("int")).cast("long").alias("null_values"),
-        F.sum(F.when(F.col("ts_ms") < F.col("__prev"), 1).otherwise(0)).cast("long")
-        .alias("order_violations"),
     )
+    viol = order_violation_count(ev, seq_col="event_id", ts_col="ts_ms")
+    return agg.join(F.broadcast(viol))  # two single-row frames
 
 
 def q_trending(spark: SparkSession, sf: str) -> DataFrame:
@@ -300,9 +300,25 @@ TERM_QUERY = ("spark", "fast", "join", "query", "window")
 
 
 def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
-    """The input_hint table: (doc_id, tokens:array<int32>, n_tok, source)
-    with the tokens column as a byte-equal passthrough payload."""
-    return tx.tokenized_sequences(spark, sf)
+    """The input_hint table: (doc_id, tokens:array<int32>, n_tok, source).
+
+    Oracle projection note: the driver's canonicalizer sorts every output
+    column with pandas, which cannot factorize a raw list column — so the
+    oracle-checked row renders the token array as its byte-faithful
+    space-joined string (`tokens_str`, order-sensitive, lossless for the
+    non-negative int ids both engines emit). The raw array<int32>
+    passthrough itself stays the API (tx.tokenized_sequences) and is
+    asserted element-byte-equal against DuckDB in
+    tests/test_correctness.py::test_tokens_passthrough_byte_equal."""
+    seq = tx.tokenized_sequences(spark, sf)
+    return seq.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), " ").alias(
+            "tokens_str"
+        ),
+        "n_tok",
+        "source",
+    )
 
 
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -399,12 +415,12 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     cand = sig.join(F.broadcast(qsig), F.col("sig") == F.col("qs"))
     score = F.round(sim.cosine_expr(F.col("embedding"), F.col("q")), 6)
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        cand.select("vec_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
-    )
+    # distributed top-k: the broadcast join preserves the scan's
+    # partitioning, so even a mega-bucket stays spread across partitions;
+    # sort+limit → TakeOrderedAndProject caps every partition's
+    # contribution at k rows (no global rank window, no single-partition
+    # stage — the scale cap the LSH bucket itself can't guarantee).
+    return sim.rank_topk(cand.select("vec_id", score.alias("score")), k=3)
 
 
 def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
@@ -529,7 +545,10 @@ def _lsh_sig_sql(col: str) -> str:
 
 
 _TEXT_ORACLES: dict[str, str] = {
-    "tokenize": f"{SEQ} SELECT doc_id, tokens, len(tokens)::INT AS n_tok, source FROM seq",
+    "tokenize": (
+        f"{SEQ} SELECT doc_id, array_to_string(tokens, ' ') AS tokens_str, "
+        "len(tokens)::INT AS n_tok, source FROM seq"
+    ),
     "doc_quality": """
         WITH w AS (SELECT doc_id, length(text) AS n_chars,
                      list_filter(string_split(text,' '), x -> x <> '') AS words

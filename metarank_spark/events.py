@@ -102,10 +102,17 @@ def events_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, schema=EVENT_SCHEMA)
 
 
-def check_ordering(events: DataFrame, partitions: int | None = None) -> DataFrame:
+def check_ordering(
+    events: DataFrame,
+    partitions: int | None = None,
+    seq_col: str = "seq",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
     """CheckOrderingPipe analog (flow/CheckOrderingPipe.scala:12-27): assert
-    the (ts_ms, seq) order is a valid total order — seq strictly increasing
-    implies ts nondecreasing. Returns violating rows (empty = sorted).
+    the (ts_col, seq_col) order is a valid total order — seq strictly
+    increasing implies ts nondecreasing. Returns violating rows with
+    columns (id_col, ts_col, seq_col, prev_ts); empty = sorted.
 
     Distributed: range-partition by seq, lag-check within partitions, and
     compare boundary (min/max per partition) pairs — no global single-
@@ -114,23 +121,41 @@ def check_ordering(events: DataFrame, partitions: int | None = None) -> DataFram
 
     spark = events.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
-    ranged = events.select("event_id", "ts_ms", "seq").repartitionByRange(n, "seq")
+    cols = list(dict.fromkeys([id_col, ts_col, seq_col]))
+    ranged = events.select(*cols).repartitionByRange(n, seq_col)
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy("seq")
+    w = Window.partitionBy("__pid").orderBy(seq_col)
     inner = ranged.select(
-        "event_id", "ts_ms", "seq", F.lag("ts_ms").over(w).alias("prev_ts")
-    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts")))
+        *cols, F.lag(ts_col).over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull() & (F.col(ts_col) < F.col("prev_ts")))
 
     # boundary pairs: last ts of partition k must be <= first ts of k+1
-    bounds = ranged.groupBy("__pid").agg(
-        F.min(F.struct("seq", "ts_ms", "event_id")).alias("first"),
-        F.max(F.struct("seq", "ts_ms", "event_id")).alias("last"),
+    key = F.struct(
+        F.col(seq_col).alias("s"), F.col(ts_col).alias("t"), F.col(id_col).alias("i")
     )
-    bw = Window.orderBy(F.col("first.seq"))  # one row per partition: tiny
+    bounds = ranged.groupBy("__pid").agg(
+        F.min(key).alias("first"), F.max(key).alias("last")
+    )
+    bw = Window.orderBy(F.col("first.s"))  # one row per partition: tiny
     cross = bounds.select(
-        F.col("first.event_id").alias("event_id"),
-        F.col("first.ts_ms").alias("ts_ms"),
-        F.col("first.seq").alias("seq"),
-        F.lag("last.ts_ms").over(bw).alias("prev_ts"),
-    ).filter(F.col("prev_ts").isNotNull() & (F.col("ts_ms") < F.col("prev_ts")))
+        F.col("first.i").alias(id_col),
+        F.col("first.t").alias(ts_col),
+        *([F.col("first.s").alias(seq_col)] if seq_col not in (id_col, ts_col) else []),
+        F.lag("last.t").over(bw).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull() & (F.col(ts_col) < F.col("prev_ts")))
     return inner.unionByName(cross).drop("__pid")
+
+
+def order_violation_count(
+    events: DataFrame,
+    seq_col: str = "seq",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    out: str = "order_violations",
+) -> DataFrame:
+    """Single-row count of (seq asc ⇒ ts nondecreasing) violations, built
+    on the range-partitioned check_ordering (scale-safe replacement for an
+    unpartitioned global lag window)."""
+    return check_ordering(events, seq_col=seq_col, ts_col=ts_col, id_col=id_col).agg(
+        F.count(F.lit(1)).cast("long").alias(out)
+    )

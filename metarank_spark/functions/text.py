@@ -108,24 +108,49 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
-def build_term_freq(docs: DataFrame, text: str = "text") -> dict:
+def term_df(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-term document frequency as a DataFrame (term, df) — one
+    explode+groupBy pass. This is the scale-safe TermFreq artifact: at a
+    100 TB corpus the vocabulary is 10^7-10^8 terms, so it stays a table
+    (write it out / broadcast-join the query-term slice) rather than a
+    driver-side dict."""
+    w = words_expr(text)
+    return (
+        docs.select(F.explode(F.array_distinct(w)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def corpus_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Single-row (n_docs, avgdl) corpus statistics for BM25."""
+    w = words_expr(text)
+    return docs.select(F.size(w).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def build_term_freq(
+    docs: DataFrame, text: str = "text", terms: list[str] | None = None
+) -> dict:
     """TermFreqDic builder (matcher/BM25Matcher.scala:68-85 + the
     `termfreq` CLI): corpus document frequencies per term, doc count, and
-    average doc length — the broadcastable BM25 dictionary. One
-    explode+groupBy pass; the dict itself is small (vocab-sized)."""
-    w = words_expr(text)
-    stats = docs.select(F.size(w).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    dfs = (
-        docs.select(F.explode(F.array_distinct(w)).alias("term"))
-        .groupBy("term").count()
-        .collect()
-    )
+    average doc length — the broadcastable BM25 dictionary.
+
+    Pass ``terms`` (the query vocabulary) so only those rows are ever
+    collected to the driver — the full-vocab collect is opt-in
+    (terms=None) and only sane for fixture-scale corpora. The
+    distributed artifact is term_df()/corpus_stats(); this dict is the
+    final driver-side hand-off for a known, small term set."""
+    stats = corpus_stats(docs, text).collect()[0]
+    d = term_df(docs, text)
+    if terms is not None:
+        d = d.filter(F.col("term").isin(list(terms)))
+    dfs = d.collect()
     return {
         "n_docs": stats["n_docs"],
         "avgdl": stats["avgdl"],
-        "df": {r["term"]: r["count"] for r in dfs},
+        "df": {r["term"]: r["df"] for r in dfs},
     }
 
 

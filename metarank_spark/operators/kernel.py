@@ -88,10 +88,31 @@ def run_kernel(
 def strictly_before_index(wrows: pd.DataFrame, qrows: pd.DataFrame) -> np.ndarray:
     """For each query row: number of write rows strictly before it in the
     (ts_ms, seq) order — the zero-leakage cut point (use as exclusive end
-    index into cumulative arrays over wrows)."""
-    wkey = wrows["ts_ms"].values.astype(np.int64) * 1_000_000 + wrows["seq"].values
-    qkey = qrows["ts_ms"].values.astype(np.int64) * 1_000_000 + qrows["seq"].values
-    return np.searchsorted(wkey, qkey, side="left")
+    index into cumulative arrays over wrows).
+
+    Implemented as one lexsort-merge over the concatenated (ts, seq, side)
+    keys — NOT a packed scalar key like ts*K+seq, which silently overflows
+    or reorders once seq >= K (backfill/bench seq values reach tens of
+    millions, and inject_impressions doubles them)."""
+    n_w = len(wrows)
+    ts = np.concatenate(
+        [wrows["ts_ms"].values.astype(np.int64), qrows["ts_ms"].values.astype(np.int64)]
+    )
+    seq = np.concatenate(
+        [wrows["seq"].values.astype(np.int64), qrows["seq"].values.astype(np.int64)]
+    )
+    # side: queries (0) sort before writes (1) on an exact (ts, seq) tie,
+    # so a tied write is excluded — strictly-before semantics.
+    side = np.concatenate(
+        [np.ones(n_w, dtype=np.int8), np.zeros(len(qrows), dtype=np.int8)]
+    )
+    order = np.lexsort((side, seq, ts))
+    is_w = order < n_w
+    cum_w = np.cumsum(is_w)  # inclusive; query positions contribute 0
+    out = np.empty(len(qrows), dtype=np.int64)
+    qpos = np.nonzero(~is_w)[0]
+    out[order[qpos] - n_w] = cum_w[qpos]
+    return out
 
 
 # ---------------- example / reference kernels ----------------

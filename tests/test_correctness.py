@@ -82,3 +82,20 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_tokens_passthrough_byte_equal(spark):
+    """north-rule invariant: the raw tokens array<int32> is byte-equal
+    between the Spark tokenizer and the DuckDB oracle (the driver gate
+    checks the space-joined rendering; this guards the array itself)."""
+    from metarank_spark.functions import text as tx
+
+    sdf = tx.tokenized_sequences(spark, SF_SMALL)
+    srows = {r["doc_id"]: list(r["tokens"]) for r in sdf.collect()}
+    con = duck_con(SF_SMALL)
+    drows = {
+        r[0]: list(r[1])
+        for r in con.sql(f"{entrymod.SEQ} SELECT doc_id, tokens FROM seq").fetchall()
+    }
+    assert srows.keys() == drows.keys()
+    assert srows == drows

@@ -82,3 +82,38 @@ def test_kernel_custom_decayed_count(spark):
     ).collect()
     # clicks 2 days and 1 day before, half-life 1 day → 0.25 + 0.5
     assert abs(out[0]["decayed"] - 0.75) < 1e-12
+
+
+def test_strictly_before_index_large_seq():
+    """seq >= 1e6 broke the old packed ts*1e6+seq key (key collisions /
+    non-monotone order); the lexsort merge must match brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from metarank_spark.operators.kernel import strictly_before_index
+
+    w = pd.DataFrame({"ts_ms": [1, 2, 2], "seq": [5_000_000, 10, 7_000_001]})
+    q = pd.DataFrame({"ts_ms": [1, 2, 2, 3], "seq": [6_000_000, 10, 7_000_002, 0]})
+    got = strictly_before_index(w, q)
+    brute = [
+        sum(
+            (wt < qt) or (wt == qt and ws < qs)
+            for wt, ws in zip(w["ts_ms"], w["seq"])
+        )
+        for qt, qs in zip(q["ts_ms"], q["seq"])
+    ]
+    assert list(got) == brute == [1, 1, 3, 3]
+
+    rng = np.random.RandomState(7)
+    wf = pd.DataFrame(
+        {"ts_ms": np.sort(rng.randint(0, 50, 200)), "seq": rng.randint(0, 10**9, 200)}
+    ).sort_values(["ts_ms", "seq"]).reset_index(drop=True)
+    qf = pd.DataFrame(
+        {"ts_ms": np.sort(rng.randint(0, 50, 80)), "seq": rng.randint(0, 10**9, 80)}
+    ).sort_values(["ts_ms", "seq"]).reset_index(drop=True)
+    got = strictly_before_index(wf, qf)
+    brute = [
+        int(((wf["ts_ms"] < t) | ((wf["ts_ms"] == t) & (wf["seq"] < s))).sum())
+        for t, s in zip(qf["ts_ms"], qf["seq"])
+    ]
+    assert list(got) == brute

@@ -13,9 +13,11 @@ from tests.conftest import SF_SMALL
 
 def test_term_freq_dict_matches_inline_bm25(spark):
     docs = load_documents(spark, SF_SMALL)
-    dic = build_term_freq(docs)
+    # query-term slice only — no full-vocab collect on the data path
+    dic = build_term_freq(docs, terms=list(em.BM25_TERMS))
     assert dic["n_docs"] == docs.count()
     assert dic["df"]["spark"] > 0
+    assert set(dic["df"]) <= set(em.BM25_TERMS)
 
     scored = docs.select(
         "doc_id", F.round(bm25_score_expr("text", list(em.BM25_TERMS), dic), 6).alias("bm25")
