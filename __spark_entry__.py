@@ -735,9 +735,9 @@ _ORACLES: dict[str, str] = {
         SELECT {KEYS},
           (10.0 + (sum(c) OVER ({W_ROWS}) - coalesce(sum(c) OVER (PARTITION BY user_id
               ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
-          / (10.0 * (gb7::DOUBLE / nullif(gt7, 0)::DOUBLE)
+          / nullif(10.0 * floor(gb7::DOUBLE / nullif(gt7, 0)::DOUBLE)
              + (sum(v) OVER ({W_ROWS}) - coalesce(sum(v) OVER (PARTITION BY user_id
-                 ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)))
+                 ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)), 0)
           AS nrate7
         FROM d JOIN gw USING (day)""",
     "asof_snapshot": f"""
@@ -795,8 +795,8 @@ _ORACLES: dict[str, str] = {
     "item_age": f"""
         {EV}
         SELECT {KEYS},
-          (ts_ms - last_value(CASE WHEN event_type='signup' THEN ts_ms END IGNORE NULLS)
-            OVER ({W_ROWS_STRICT})) / 1000.0 AS age_sec
+          floor((ts_ms - last_value(CASE WHEN event_type='signup' THEN ts_ms END IGNORE NULLS)
+            OVER ({W_ROWS_STRICT})) / 1000.0) AS age_sec
         FROM ev""",
     "local_time": f"""
         {EV}

@@ -618,7 +618,9 @@ class FeatureEngine:
                     head = F.col("str_fields").getItem(cfg.field).getItem(0)
                     val = F.when(head == "true", 1.0).when(head == "false", 0.0)
                 elif isinstance(cfg, StringEncode):
-                    val = F.col("str_fields").getItem(cfg.field).getItem(0)
+                    # store the full SStringList: onehot encodes EVERY
+                    # value (OneHotEncoder.fromValues), index the head
+                    val = F.col("str_fields").getItem(cfg.field)
                 elif isinstance(cfg, WordCount):
                     val = F.size(
                         F.split(F.col("str_fields").getItem(cfg.field).getItem(0), r"\s+")
@@ -632,17 +634,25 @@ class FeatureEngine:
                 )
                 wc = {f"{cfg.name}__v": F.col(pname)}
                 if isinstance(cfg, ItemAge):
+                    # toSeconds truncation (ItemAgeFeature.scala:81)
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
-                        (F.col("ts_ms") - c[n]) / 1000.0, nan)
+                        F.floor((F.col("ts_ms") - c[n]) / 1000.0).cast("double"), nan)
                 elif isinstance(cfg, StringEncode):
                     if cfg.encode == "index":
+                        # index encode: head of the list (StringFeature.scala
+                        # IndexCategoricalEncoder values.headOption)
                         mapping = F.array(*[F.lit(v) for v in cfg.values])
                         fin = lambda c, n=f"{cfg.name}__v", m=mapping: F.coalesce(
-                            F.array_position(m, c[n]), F.lit(0)).cast("double")
+                            F.array_position(m, F.get(c[n], 0)), F.lit(0)).cast("double")
                     else:
+                        # onehot: 1.0 at EVERY stored value, not just the
+                        # head (util/OneHotEncoder.scala fromValues)
                         vals = cfg.values
                         fin = lambda c, n=f"{cfg.name}__v", vs=vals: F.array(
-                            *[F.when(c[n] == v, 1.0).otherwise(0.0) for v in vs])
+                            *[
+                                F.when(F.array_contains(c[n], v), 1.0).otherwise(0.0)
+                                for v in vs
+                            ])
                 else:
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(c[n], nan)
                 feats.append(MergedFeature(cfg.name, wc, fin))
@@ -756,9 +766,20 @@ class FeatureEngine:
         gt, gb = F.col(f"vec_{cfg.name}_gt"), F.col(f"vec_{cfg.name}_gb")
         w = F.lit(float(cfg.normalize_weight))
         idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        # the reference divides two Longs (RateFeature.scala:346-348:
+        # bottomGlobalNum.value / topGlobalNum.value) — integer division,
+        # so the global ratio is truncated before entering the formula
         formula = F.transform(
             idx,
-            lambda i: (w + F.get(t, i)) / (w * (F.get(gb, i) / F.get(gt, i).cast("double")) + F.get(b, i)),
+            lambda i: (w + F.get(t, i))
+            / F.nullif(
+                w
+                * F.floor(
+                    F.get(gb, i) / F.nullif(F.get(gt, i).cast("double"), F.lit(0.0))
+                ).cast("double")
+                + F.get(b, i),
+                F.lit(0.0),
+            ),
         )
         val = F.when(t.isNull() | b.isNull() | gt.isNull() | gb.isNull(), _nan_array(dim)).otherwise(formula)
         return out.withColumn(cfg.name, val).drop(
@@ -784,17 +805,24 @@ class FeatureEngine:
         ).drop(f"val_{cfg.name}")
 
     def _attach_string(self, base, rankings, events, cfg: StringEncode):
-        value = F.col("str_fields").getItem(cfg.field).getItem(0)
+        # store the full SStringList (StringFeature.scala:60-66 puts the
+        # whole list); encoders read head (index) or all values (onehot)
+        value = F.col("str_fields").getItem(cfg.field)
         s = self._rename_series(self._scalar_series(events, cfg.source, value), cfg.source)
         out = self._asof_to_base(base, rankings, s, cfg.source, ["val"], f"_{cfg.name}")
         raw = F.col(f"val_{cfg.name}")
         if cfg.encode == "index":
-            # 0 = missing, i+1 otherwise (StringFeature.scala:119-138)
+            # 0 = missing, i+1 otherwise (StringFeature.scala:119-138,
+            # IndexCategoricalEncoder: values.headOption)
             mapping = F.array(*[F.lit(v) for v in cfg.values])
-            val = F.coalesce(F.array_position(mapping, raw), F.lit(0)).cast("double")
+            val = F.coalesce(
+                F.array_position(mapping, F.get(raw, 0)), F.lit(0)
+            ).cast("double")
         else:
+            # onehot: membership over ALL values (OneHotEncoder.fromValues)
             val = F.array(*[
-                F.when(raw == v, 1.0).otherwise(0.0) for v in cfg.values
+                F.when(F.array_contains(raw, v), 1.0).otherwise(0.0)
+                for v in cfg.values
             ])
         return out.withColumn(cfg.name, val).drop(f"val_{cfg.name}")
 
@@ -803,7 +831,10 @@ class FeatureEngine:
             self._scalar_series(events, "item", F.col("ts_ms").cast("double")), "item"
         )
         out = self._asof_to_base(base, rankings, s, "item", ["val"], f"_{cfg.name}")
-        age = (F.col("ts_ms") - F.col(f"val_{cfg.name}")) / 1000.0
+        # whole seconds: ItemAgeFeature.scala:81 toSeconds truncates
+        age = F.floor(
+            (F.col("ts_ms") - F.col(f"val_{cfg.name}")) / 1000.0
+        ).cast("double")
         return out.withColumn(
             cfg.name, F.coalesce(age, F.lit(float("nan")))
         ).drop(f"val_{cfg.name}")

@@ -149,9 +149,18 @@ def rate_normalized(
         t = bucketed_window_count(F.col("event_type") == top, entity, F.col("__bucket"), p, *ORDER)
         bo = bucketed_window_count(F.col("event_type") == bottom, entity, F.col("__bucket"), p, *ORDER)
         # nullif: ANSI mode raises on /0; an empty global-top window reads
-        # as missing (null) rather than crashing the job
-        g_ratio = F.col(f"__gb{p}") / F.nullif(F.col(f"__gt{p}").cast("double"), F.lit(0.0))
-        newcols[f"{out_prefix}{p}"] = (F.lit(w) + t) / (F.lit(w) * g_ratio + bo)
+        # as missing (null) rather than crashing the job.
+        # floor: the reference divides two Longs (RateFeature.scala:346-348
+        # bottomGlobalNum.value / topGlobalNum.value), i.e. integer
+        # division — parity requires truncating the global ratio.
+        g_ratio = F.floor(
+            F.col(f"__gb{p}") / F.nullif(F.col(f"__gt{p}").cast("double"), F.lit(0.0))
+        ).cast("double")
+        # truncation can zero the whole denominator (ratio 0 and empty
+        # bottom window) — read as missing rather than raise under ANSI
+        newcols[f"{out_prefix}{p}"] = (F.lit(w) + t) / F.nullif(
+            F.lit(w) * g_ratio + bo, F.lit(0.0)
+        )
     out = out.withColumns(newcols)
     return out.drop("__bucket", *[c for p in periods for c in (f"__gt{p}", f"__gb{p}")])
 
@@ -193,12 +202,15 @@ def item_age_sec(
     entity: str = "user_id",
     out: str = "age_sec",
 ) -> DataFrame:
-    """ItemAgeFeature: seconds between now and the entity's last metadata
-    update (ItemAgeFeature.scala:41-84: the update's ts is stored as a
-    double, value = (ranking.ts - stored)/1000)."""
+    """ItemAgeFeature: whole seconds between now and the entity's last
+    metadata update (ItemAgeFeature.scala:41-84: the update's ts is stored
+    as a double; value = updatedAt.diff(request.ts).toSeconds — truncated
+    to whole seconds, hence the floor)."""
     w = _w(entity, -1)  # strictly before: the event's own update not counted
     last_upd = F.last(F.when(update_pred, F.col("ts_ms")), ignorenulls=True).over(w)
-    return df.withColumn(out, (F.col("ts_ms") - last_upd) / F.lit(1000.0))
+    return df.withColumn(
+        out, F.floor((F.col("ts_ms") - last_upd) / F.lit(1000.0)).cast("double")
+    )
 
 
 def bounded_list_string(

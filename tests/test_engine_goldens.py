@@ -226,3 +226,65 @@ def test_bounded_list_duration_eviction(spark):
     )
     assert nan_eq(out[("r1", 0)]["seen"], [0.0])  # p1 evicted by duration
     assert nan_eq(out[("r1", 1)]["seen"], [1.0])
+
+
+def test_string_onehot_multivalue(spark):
+    """onehot sets 1.0 at EVERY stored list value, not only the head
+    (util/OneHotEncoder.scala fromValues; StringFeature.scala:122)."""
+    rows = [
+        item_event("p1", T0, 1, str_fields={"color": ["green", "red"]}),
+        item_event("p2", T0, 2, str_fields={"color": ["blue"]}),
+        ranking_event("r1", ["p1", "p2", "p3"], T0 + 1000, 3, user="u1", session="s1"),
+    ]
+    out = run(
+        spark, rows,
+        [StringEncode("color", "color", ("red", "green", "blue"), encode="onehot")],
+    )
+    assert out[("r1", 0)]["color"] == [1.0, 1.0, 0.0]  # red AND green
+    assert out[("r1", 1)]["color"] == [0.0, 0.0, 1.0]
+    assert out[("r1", 2)]["color"] == [0.0, 0.0, 0.0]  # no write → zeros
+
+
+def test_string_index_multivalue_head(spark):
+    """index encode uses the list head only (IndexCategoricalEncoder
+    values.headOption, StringFeature.scala:125-137)."""
+    rows = [
+        item_event("p1", T0, 1, str_fields={"color": ["green", "red"]}),
+        ranking_event("r1", ["p1"], T0 + 1000, 2, user="u1", session="s1"),
+    ]
+    out = run(
+        spark, rows,
+        [StringEncode("color", "color", ("red", "green", "blue"), encode="index")],
+    )
+    assert out[("r1", 0)]["color"] == 2.0  # head=green → idx 1 → 2
+
+
+def test_item_age_truncates_to_whole_seconds(spark):
+    """ItemAgeFeature.scala:81: toSeconds truncates — 90.9 s reads 90."""
+    rows = [
+        item_event("p1", T0, 1),
+        ranking_event("r1", ["p1"], T0 + 90_900, 2, user="u1", session="s1"),
+    ]
+    out = run(spark, rows, [ItemAge("age")])
+    assert out[("r1", 0)]["age"] == 90.0
+
+
+def test_rate_normalized_integer_global_ratio(spark):
+    """RateFeature.scala:346-348 divides the global Long counters with
+    integer division: gBottom=5 impressions / gTop=2 clicks → ratio 2
+    (not 2.5). weight=1: (1+2)/(1*2+5) = 3/7."""
+    rows = [
+        click("p1", T0, 1, type="impression"),
+        click("p1", T0, 2, type="impression"),
+        click("p1", T0, 3, type="impression"),
+        click("p1", T0, 4, type="impression"),
+        click("p1", T0, 5, type="impression"),
+        click("p1", T0, 6, type="click"),
+        click("p1", T0, 7, type="click"),
+        ranking_event("r1", ["p1"], T0 + 1000, 8, user="u1", session="s1"),
+    ]
+    out = run(
+        spark, rows,
+        [Rate("nctr", "click", "impression", (7,), normalize_weight=1.0)],
+    )
+    assert nan_eq(out[("r1", 0)]["nctr"], [3.0 / 7.0])
