@@ -206,6 +206,16 @@ def q_freq_share(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(ops.freq_share(_ev(spark, sf), "click", pool=10), "freq_share")
 
 
+def q_freq_share_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """FreqEstimator with sampleRate=0.5 (model/Feature.scala:249
+    shouldSample): the pool sees only hash-accepted writes; every event
+    reads the latest at-or-before pool state via the as-of merge."""
+    df = ops.freq_share(
+        _ev(spark, sf), "click", pool=10, sample_rate=0.5, out="freq_share_s"
+    )
+    return _keys(df, "freq_share_s")
+
+
 def q_map_feature(spark: SparkSession, sf: str) -> DataFrame:
     """MapFeature final state: latest value per (user, event_type)
     (MemMapFeature.scala:12-24)."""
@@ -367,6 +377,17 @@ def q_term_match(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", score.alias("term_score"))
 
 
+def q_ngram_match(spark: SparkSession, sf: str) -> DataFrame:
+    """field_match/ngram (matcher/NgramMatcher.scala:10-28 via
+    FieldMatchFeature.scala:41-54): char-trigram Jaccard vs a fixed query,
+    both sides tokenized with the same sliding-window matcher."""
+    docs = load_documents(spark, sf)
+    return docs.select(
+        "doc_id",
+        tx.ngram_match_expr("text", " ".join(TERM_QUERY)).alias("ngram_score"),
+    )
+
+
 def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) vs fixed terms, df/avgdl from the corpus
     (matcher/BM25Matcher.scala:26-40; dict build :68-85)."""
@@ -503,6 +524,26 @@ def _minhash_sql(threshold: float) -> str:
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
 
 
+def _ngram_sql(n: int = 3) -> str:
+    query = " ".join(TERM_QUERY)
+    qgrams = sorted(
+        {w[j : j + n] for w in query.split() for j in range(len(w) - n + 1)}
+    )
+    return f"""
+        WITH g AS (SELECT doc_id,
+          list_sort(list_distinct(flatten(list_transform(
+            list_filter(string_split(text,' '), x -> x <> ''),
+            w -> CASE WHEN length(w) >= {n}
+                 THEN list_transform(range(1, length(w)-{n - 2}), i -> substr(w, i, {n}))
+                 ELSE []::VARCHAR[] END)))) AS grams
+          FROM documents)
+        SELECT doc_id,
+          round(len(list_intersect(grams, {qgrams}))::DOUBLE
+                / nullif(len(list_distinct(list_concat(grams, {qgrams}))), 0), 6)
+            AS ngram_score
+        FROM g"""
+
+
 def _bm25_sql() -> str:
     k1, b = 1.2, 0.75
     dfs = ", ".join(
@@ -601,6 +642,7 @@ _TEXT_ORACLES: dict[str, str] = {
                 / nullif(len(list_distinct(list_concat(words, {list(TERM_QUERY)}))), 0), 6)
             AS term_score
         FROM w""",
+    "ngram_match": _ngram_sql(),
     "bm25": _bm25_sql(),
     "ann_cosine": f"""
         WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
@@ -640,6 +682,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "simhash": q_simhash,
     "term_match": q_term_match,
+    "ngram_match": q_ngram_match,
     "bm25": q_bm25,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
@@ -786,6 +829,20 @@ _ORACLES: dict[str, str] = {
             / (count(*) OVER w) AS freq_share
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "freq_share_sampled": f"""
+        {EV}, acc AS (
+          SELECT * FROM ev
+          WHERE ((event_id % 1000003) * 2654435761) % 1000 < 500),
+        p AS (SELECT event_id AS aid, user_id AS auid, ts_ms AS ats,
+          (sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w)::DOUBLE
+            / (count(*) OVER w) AS fs
+          FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        SELECT {KEYS},
+          (SELECT fs FROM p WHERE auid = e.user_id
+             AND (ats < e.ts_ms OR (ats = e.ts_ms AND aid <= e.event_id))
+           ORDER BY ats DESC, aid DESC LIMIT 1) AS freq_share_s
+        FROM ev e""",
     "map_feature": f"""
         {EV}
         SELECT user_id, event_type AS map_key, value AS last_value, ts_ms AS last_ts_ms
@@ -852,6 +909,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bounded_list": q_bounded_list,
     "stats_window": q_stats_window,
     "freq_share": q_freq_share,
+    "freq_share_sampled": q_freq_share_sampled,
     "map_feature": q_map_feature,
     "item_age": q_item_age,
     "local_time": q_local_time,

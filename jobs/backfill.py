@@ -80,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-ranges", type=int, default=16)
     ap.add_argument("--entity", default="user_id")
     ap.add_argument("--features", help="JSON file with feature specs")
+    ap.add_argument("--config", help="reference-style Metarank YAML config "
+                    "(the features: section; model/FeatureSchema.scala:41-80)")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
     ap.add_argument("--materialize-input", action="store_true",
                     help="stage events once as a bucketed+sorted table before the range loop")
@@ -98,11 +100,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("need --events or --synthetic-users")
 
-    spec = DEFAULT_FEATURES
-    if args.features:
-        with open(args.features) as fh:
-            spec = json.load(fh)
-    engine = FeatureEngine(parse_features(spec))
+    if args.config:
+        from metarank_spark.config import load_config
+
+        engine = FeatureEngine(load_config(args.config).features)
+    else:
+        spec = DEFAULT_FEATURES
+        if args.features:
+            with open(args.features) as fh:
+                spec = json.load(fh)
+        engine = FeatureEngine(parse_features(spec))
 
     completed = backfill(
         events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,

@@ -1,0 +1,192 @@
+"""YAML config ingestion — load reference-style Metarank configs into
+engine feature dataclasses.
+
+Mirrors the feature registry of model/FeatureSchema.scala:41-80 (the
+``type:`` dispatch) and the field conventions of the reference's shipped
+configs (doc/configuration/sample-config.yml, src/test/resources/ranklens/
+config.yml): ``source: item.popularity`` style FieldName refs, ``24h``/
+``60d`` FiniteDuration strings, ``periods: [7,30]`` lists, optional
+``normalize: {weight: N}`` on rate, per-feature ``refresh``/``ttl``.
+
+Out-of-scope types raise with an explicit message rather than silently
+dropping (ua/referer parse dictionaries, ONNX bi/cross encoders, and
+field_match live at the query layer here — see SURVEY.md §2 notes).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from metarank_spark.engine import (
+    Boolean,
+    Diversity,
+    InteractedWith,
+    InteractionCount,
+    ItemAge,
+    LocalTime,
+    Number,
+    Position,
+    RandomFeature,
+    Rate,
+    Relevancy,
+    StringEncode,
+    Vector,
+    WindowCount,
+    WordCount,
+)
+
+_DUR_RE = re.compile(r"^\s*(\d+)\s*(ms|s|m|h|d)\s*$")
+_DUR_MS = {"ms": 1, "s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+UNSUPPORTED = {
+    "ua": "user-agent parse dictionaries are query-layer (functions/ua.py)",
+    "referer": "referer parsing is query-layer (functions/ua.py)",
+    "field_match": "field_match is query-layer (functions/text.py matchers)",
+}
+
+
+def parse_duration_ms(v: int | str) -> int:
+    """'24h' / '90d' / '60s' → milliseconds (FiniteDuration strings as the
+    reference's circe codecs accept them); bare ints are taken as ms."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = _DUR_RE.match(str(v))
+    if not m:
+        raise ValueError(f"cannot parse duration {v!r} (want e.g. 24h, 90d, 60s)")
+    return int(m.group(1)) * _DUR_MS[m.group(2)]
+
+
+def _split_source(src: str) -> tuple[str, str]:
+    """'item.popularity' → (source_event, field). 'metadata' is the legacy
+    alias for item events in the reference's shipped configs."""
+    if "." not in src:
+        raise ValueError(f"source {src!r} must be <event>.<field>")
+    head, fld = src.split(".", 1)
+    if head == "metadata":
+        head = "item"
+    if head not in ("item", "user", "interaction", "ranking"):
+        raise ValueError(f"unknown source event type {head!r} in {src!r}")
+    return head, fld
+
+
+def _scope(entry: dict, default: str = "item") -> str:
+    s = entry.get("scope", default)
+    if "." in s:
+        raise NotImplementedError(
+            f"field scopes ({s!r}) are not supported; use item/user/session/global"
+        )
+    return s
+
+
+@dataclass
+class LoadedConfig:
+    """Parsed config: engine feature dataclasses plus the knobs that live
+    outside them (per-feature refresh gates for the FeatureValueSink path,
+    the raw models section, ttl)."""
+
+    features: list
+    refresh_ms: dict[str, int] = dc_field(default_factory=dict)
+    ttl_ms: dict[str, int] = dc_field(default_factory=dict)
+    models: dict = dc_field(default_factory=dict)
+    raw: dict = dc_field(default_factory=dict)
+
+
+def parse_feature(entry: dict):
+    """One YAML feature entry → engine dataclass
+    (FeatureSchema.scala:41-80 type dispatch)."""
+    tpe = entry["type"]
+    name = entry["name"]
+    if tpe in UNSUPPORTED:
+        raise NotImplementedError(f"feature type {tpe!r}: {UNSUPPORTED[tpe]}")
+    if tpe == "number":
+        src, fld = _split_source(entry["source"])
+        return Number(name, fld, source=src)
+    if tpe == "boolean":
+        src, fld = _split_source(entry["source"])
+        return Boolean(name, fld, source=src)
+    if tpe == "string":
+        src, fld = _split_source(entry["source"])
+        return StringEncode(
+            name, fld, tuple(entry["values"]),
+            encode=entry.get("encode", "index"), source=src,
+        )
+    if tpe == "word_count":
+        src, fld = _split_source(entry["source"])
+        return WordCount(name, fld, source=src)
+    if tpe == "rate":
+        norm = entry.get("normalize") or {}
+        return Rate(
+            name, entry["top"], entry["bottom"], tuple(entry["periods"]),
+            bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
+            scope=_scope(entry),
+            normalize_weight=norm.get("weight"),
+        )
+    if tpe == "interaction_count":
+        return InteractionCount(name, entry["interaction"], scope=_scope(entry))
+    if tpe == "window_count":
+        return WindowCount(
+            name, entry["interaction"], tuple(entry["periods"]),
+            bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
+            scope=_scope(entry),
+        )
+    if tpe == "item_age":
+        return ItemAge(name)
+    if tpe == "local_time":
+        return LocalTime(name, part=entry.get("field", entry.get("part", "time_of_day")))
+    if tpe == "relevancy":
+        return Relevancy(name)
+    if tpe == "position":
+        return Position(name)
+    if tpe == "random":
+        return RandomFeature(name, seed=entry.get("seed"))
+    if tpe == "interacted_with":
+        flds = entry["field"]
+        flds = [flds] if isinstance(flds, str) else list(flds)
+        return InteractedWith(
+            name, entry["interaction"],
+            tuple(_split_source(f)[1] for f in flds),
+            scope=_scope(entry, "session"),
+            count=entry.get("count", 100),
+            duration_ms=parse_duration_ms(entry.get("duration", "24h")),
+        )
+    if tpe == "diversity":
+        _, fld = _split_source(entry["source"])
+        return Diversity(
+            name, fld, kind=entry.get("kind", "numeric"),
+            top_n=entry.get("top", 10),
+        )
+    if tpe == "vector":
+        src, fld = _split_source(entry["source"])
+        reducers = entry.get("reduce", ("min", "max", "size", "avg"))
+        return Vector(name, fld, reducers=tuple(reducers), source=src)
+    raise ValueError(f"feature type {tpe!r} is not supported (FeatureSchema registry)")
+
+
+def load_config(text_or_path: str) -> LoadedConfig:
+    """Parse a reference-style YAML config (a path or the YAML text
+    itself). Unknown top-level sections (state/train/api/...) are kept in
+    ``raw`` untouched — they configure serving infrastructure this engine
+    does not reimplement."""
+    import os
+
+    import yaml
+
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as fh:
+            doc = yaml.safe_load(fh)
+    else:
+        doc = yaml.safe_load(text_or_path)
+    if not isinstance(doc, dict) or "features" not in doc:
+        raise ValueError("config must be a mapping with a 'features' section")
+    feats, refresh, ttl = [], {}, {}
+    for entry in doc["features"]:
+        feats.append(parse_feature(entry))
+        if "refresh" in entry:
+            refresh[entry["name"]] = parse_duration_ms(entry["refresh"])
+        if "ttl" in entry:
+            ttl[entry["name"]] = parse_duration_ms(entry["ttl"])
+    return LoadedConfig(
+        features=feats, refresh_ms=refresh, ttl_ms=ttl,
+        models=doc.get("models") or {}, raw=doc,
+    )

@@ -45,6 +45,22 @@ from metarank_spark.plans.windows import bucketed_window_count
 DAY_MS = 86_400_000
 GLOBAL_ENTITY = "$global"
 ORDER = ("ts_ms", "seq")
+SAMPLE_MOD = 1_000_003
+
+
+def sample_accept_expr(rate: float, event_id: str = "event_id"):
+    """Deterministic analog of Feature.scala:249 shouldSample
+    (Random.nextDouble() <= rate): accept a write iff
+    rolling-hash(event_id) mod M < rate*M. Hash-based instead of RNG so
+    backfills, replays, and the brute-force oracle all agree bit-for-bit.
+    The char fold matches functions/text.token_id_expr: (acc*31 + ascii)
+    mod 1_000_003."""
+    h = F.aggregate(
+        F.split(F.col(event_id), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % SAMPLE_MOD,
+    )
+    return h < F.lit(int(rate * SAMPLE_MOD))
 
 
 # --------------------------------------------------------------------------
@@ -168,22 +184,27 @@ class Vector:
 class Stats:
     """StatsEstimator primitive (model/Feature.scala:213-234): min/max +
     exact percentiles over a bounded pool of the last ``pool`` numeric
-    samples from interactions (sampleRate pinned at 1)."""
+    samples from interactions. ``sample_rate`` < 1 drops writes before
+    they reach the pool (Feature.scala:249 shouldSample), here as a
+    deterministic event-id hash so replays/backfills reproduce."""
     name: str
     field: str
     pool: int = 100
     percentiles: tuple[int, ...] = (50, 90)
     scope: str = "item"
+    sample_rate: float = 1.0
 
 
 @dataclass(frozen=True)
 class Freq:
     """FreqEstimator primitive (model/Feature.scala:112-126): relative
-    frequency map over the last ``pool`` string samples (sampleRate=1)."""
+    frequency map over the last ``pool`` string samples. ``sample_rate``
+    as in Stats (deterministic hash-accept analog of Feature.scala:249)."""
     name: str
     field: str
     pool: int = 100
     scope: str = "item"
+    sample_rate: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -533,9 +554,14 @@ class FeatureEngine:
                     )
                     if isinstance(cfg, Freq):
                         sample = sample.getItem(0)
-                    preds.append(
-                        (F.col("event_type") == "interaction") & sample.isNotNull()
-                    )
+                    pred = (F.col("event_type") == "interaction") & sample.isNotNull()
+                    rate = getattr(cfg, "sample_rate", 1.0)
+                    if rate < 1.0:
+                        # deterministic shouldSample (Feature.scala:249):
+                        # the pool sees only hash-accepted writes; pool
+                        # groups are single-feature so the filter is exact
+                        pred = pred & sample_accept_expr(rate)
+                    preds.append(pred)
                 pname = f"__p_{cfg.name}"
                 if isinstance(cfg, (Stats, Freq)):
                     poolw = (

@@ -173,6 +173,44 @@ def bm25_score_expr(text: Column | str, terms: list[str], dic: dict,
     return score
 
 
+def char_ngrams_expr(text: Column | str, n: int = 3) -> Column:
+    """Sorted distinct character n-grams of each whitespace word —
+    field_match ngram tokenizer (matcher/NgramMatcher.scala:10-28:
+    per-term sliding substrings of length n, then unique+sort; words
+    shorter than n contribute nothing)."""
+    words = words_expr(text)
+    grams = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.when(
+                F.length(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - (n - 1)),
+                    lambda i: w.substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def ngram_match_expr(text: Column | str, query: str, n: int = 3) -> Column:
+    """field_match/ngram score: Jaccard over the char-n-gram sets of the
+    stored field and the query (FieldMatcher.score — |∩| / |∪|;
+    FieldMatchFeature.scala:41-54 tokenizes both sides with the same
+    matcher). Rounded 6dp so Spark and DuckDB agree bitwise."""
+    qgrams = sorted(
+        {w[j : j + n] for w in query.split() for j in range(len(w) - n + 1)}
+    )
+    d = char_ngrams_expr(text, n)
+    qarr = F.array(*[F.lit(g) for g in qgrams])
+    return F.round(
+        F.size(F.array_intersect(d, qarr))
+        / F.nullif(F.size(F.array_union(d, qarr)).cast("double"), F.lit(0.0)),
+        6,
+    )
+
+
 # deterministic two-profile-or-more language ID (n-gram/stopword heuristic).
 LANG_PROFILES = {
     "en": ("the", "a", "and"),

@@ -11,3 +11,4 @@ from metarank_spark.operators.extractors import (  # noqa: F401
     stats_window,
     window_count,
 )
+from metarank_spark.operators.refresh import refresh_gate  # noqa: F401

@@ -272,24 +272,67 @@ def stats_window(
     )
 
 
+SAMPLE_HASH_MOD = 1_000_003
+SAMPLE_HASH_MULT = 2654435761
+
+
+def sample_accept_numeric(event_id: Column | str, rate: float) -> Column:
+    """Deterministic shouldSample analog (model/Feature.scala:249) for a
+    numeric event id: accept iff ((id mod P) * MULT) mod 1000 < rate*1000.
+    The inner mod keeps the product inside int64 for any BIGINT id."""
+    c = F.col(event_id) if isinstance(event_id, str) else event_id
+    h = ((c % SAMPLE_HASH_MOD) * F.lit(SAMPLE_HASH_MULT)) % 1000
+    return h < F.lit(int(rate * 1000))
+
+
 def freq_share(
     df: DataFrame,
     target: str,
     pool: int = 10,
     entity: str = "user_id",
     out: str = "freq_share",
+    sample_rate: float = 1.0,
 ) -> DataFrame:
-    """FreqEstimatorFeature with sampleRate=1: relative frequency of
-    ``target`` among the last ``pool`` events
-    (model/Feature.scala:112-126: freq = count(value)/pool_size)."""
+    """FreqEstimatorFeature: relative frequency of ``target`` among the
+    last ``pool`` sampled events (model/Feature.scala:112-126:
+    freq = count(value)/pool_size).
+
+    sample_rate=1 is a plain bounded-rows window. With sample_rate<1 the
+    pool holds only hash-accepted writes (deterministic shouldSample,
+    Feature.scala:249), so the share is computed at each ACCEPTED row and
+    carried to every event with the at-or-before as-of merge — one extra
+    shuffle on the entity key, still no row explosion."""
     w = (
         Window.partitionBy(entity)
         .orderBy(*ORDER)
         .rowsBetween(-(pool - 1), Window.currentRow)
     )
+    if sample_rate >= 1.0:
+        hits = F.sum(F.when(F.col("event_type") == target, 1).otherwise(0)).over(w)
+        total = F.count(F.lit(1)).over(w)
+        return df.withColumn(out, hits / total.cast("double"))
+
+    from metarank_spark.plans.asof import asof_join
+
+    acc = df.filter(sample_accept_numeric("event_id", sample_rate))
     hits = F.sum(F.when(F.col("event_type") == target, 1).otherwise(0)).over(w)
     total = F.count(F.lit(1)).over(w)
-    return df.withColumn(out, hits / total.cast("double"))
+    vals = acc.select(
+        F.col(entity),
+        "ts_ms",
+        F.col("event_id").alias("__aid"),
+        (hits / total.cast("double")).alias(out),
+    )
+    joined = asof_join(
+        df,
+        vals,
+        on=entity,
+        left_seq="event_id",
+        right_seq="__aid",
+        values=[out],
+        strict=False,  # an accepted event reads its own write
+    )
+    return joined.withColumnRenamed(f"{out}_asof", out)
 
 
 def map_feature_last(

@@ -1,0 +1,114 @@
+"""YAML config ingestion (metarank_spark/config.py) — parse a
+reference-style config (ranklens/config.yml shapes) and run the engine
+from it end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from metarank_spark.config import LoadedConfig, load_config, parse_duration_ms
+from metarank_spark.engine import (
+    FeatureEngine,
+    InteractionCount,
+    Number,
+    Rate,
+    StringEncode,
+    WindowCount,
+)
+
+YAML = """
+features:
+  - name: popularity
+    type: number
+    scope: item
+    source: metadata.popularity
+    ttl: 60d
+    refresh: 1h
+  - name: genre
+    type: string
+    scope: item
+    source: item.genres
+    encode: index
+    values: [drama, comedy, thriller]
+  - name: ctr
+    type: rate
+    top: click
+    bottom: impression
+    bucket: 24h
+    periods: [7, 30]
+    normalize:
+      weight: 10
+  - name: global_item_click_count
+    type: interaction_count
+    interaction: click
+    scope: item
+  - name: day_item_click_count
+    type: window_count
+    interaction: click
+    scope: item
+    bucket: 24h
+    periods: [7, 30]
+models:
+  xgboost:
+    type: lambdamart
+    features: [popularity, genre, ctr]
+"""
+
+
+def test_parse_reference_style_yaml():
+    cfg = load_config(YAML)
+    assert isinstance(cfg, LoadedConfig)
+    by_name = {f.name: f for f in cfg.features}
+    assert by_name["popularity"] == Number("popularity", "popularity", source="item")
+    assert by_name["genre"] == StringEncode(
+        "genre", "genres", ("drama", "comedy", "thriller"), encode="index", source="item"
+    )
+    ctr = by_name["ctr"]
+    assert isinstance(ctr, Rate) and ctr.periods == (7, 30) and ctr.normalize_weight == 10
+    assert isinstance(by_name["global_item_click_count"], InteractionCount)
+    wc = by_name["day_item_click_count"]
+    assert isinstance(wc, WindowCount) and wc.bucket_ms == 86_400_000
+    assert cfg.refresh_ms == {"popularity": 3_600_000}
+    assert cfg.ttl_ms == {"popularity": 60 * 86_400_000}
+    assert "xgboost" in cfg.models
+
+
+def test_durations_and_errors():
+    assert parse_duration_ms("90d") == 90 * 86_400_000
+    assert parse_duration_ms("250ms") == 250
+    assert parse_duration_ms(42) == 42
+    with pytest.raises(ValueError):
+        parse_duration_ms("yesterday")
+    with pytest.raises(NotImplementedError):
+        load_config("features:\n  - {name: x, type: ua, field: browser}")
+    with pytest.raises(NotImplementedError):
+        load_config(
+            "features:\n  - {name: x, type: rate, top: a, bottom: b,"
+            " periods: [7], scope: item.tag}"
+        )
+
+
+def test_engine_runs_from_yaml(spark):
+    from metarank_spark.events import (
+        events_df,
+        interaction_event,
+        item_event,
+        ranking_event,
+    )
+
+    cfg = load_config(YAML)
+    eng = FeatureEngine(cfg.features)
+    t0 = 1_700_000_000_000
+    rows = [
+        item_event("p1", t0, 1, str_fields={"genres": ["comedy"]},
+                   num_fields={"popularity": 7.5}),
+        interaction_event("p1", "impression", t0 + 10, 2, user="u1", session="s1"),
+        interaction_event("p1", "click", t0 + 20, 3, user="u1", session="s1"),
+        ranking_event("r1", ["p1"], t0 + 1000, 4, user="u1", session="s1"),
+    ]
+    out = {(r["ranking_id"], r["position"]): r.asDict()
+           for r in eng.ranking_values(events_df(spark, rows)).collect()}
+    row = out[("r1", 0)]
+    assert row["popularity"] == 7.5
+    assert row["genre"] == 2.0  # comedy → index 1 → 2 (0 = missing)
+    assert row["global_item_click_count"] == 1.0

@@ -132,3 +132,48 @@ def test_engine_matches_bruteforce_oracle(spark, seed):
         if list(g["rec"] or []) != list(e["rec"]):
             mismatches.append((k, "rec", g["rec"], e["rec"]))
     assert not mismatches, f"{len(mismatches)} mismatches; first 5: {mismatches[:5]}"
+
+
+def _py_accept(event_id: str, rate: float) -> bool:
+    """Python mirror of engine.sample_accept_expr (independent fold)."""
+    h = 0
+    for ch in event_id:
+        h = (h * 31 + ord(ch)) % 1_000_003
+    return h < int(rate * 1_000_003)
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_sampled_pools_match_filtered_oracle(spark, seed):
+    """sample_rate=0.5: the engine's sampled Stats/Freq pools must equal
+    the brute-force fold over the stream with hash-rejected interaction
+    writes removed (sampling only affects pool contents, Feature.scala:249
+    applied at put time in Mem/File/Redis estimators)."""
+    rows = gen_events(seed)
+    rate = 0.5
+    eng = FeatureEngine([
+        Stats("st", "price", pool=5, percentiles=(50,), sample_rate=rate),
+        Freq("fr", "kind", pool=5, sample_rate=rate),
+    ])
+    got = {
+        (r["ranking_id"], r["item_id"]): r.asDict()
+        for r in eng.ranking_values(events_df(spark, rows)).collect()
+    }
+    filtered = [
+        r for r in rows
+        if r["event_type"] != "interaction" or _py_accept(r["event_id"], rate)
+    ]
+    n_dropped = len(rows) - len(filtered)
+    assert 0 < n_dropped < sum(r["event_type"] == "interaction" for r in rows)
+    exp = fold(filtered, (7,))
+    assert set(got) == set(exp)
+    mismatches = []
+    for k, e in exp.items():
+        g = got[k]
+        if not close(list(g["st"]), e["st"]):
+            mismatches.append((k, "st", g["st"], e["st"]))
+        if (g["fr"] or None) != (e["fr"] or None) and not (
+            g["fr"] and e["fr"] and set(g["fr"]) == set(e["fr"])
+            and all(abs(g["fr"][x] - e["fr"][x]) < 1e-9 for x in g["fr"])
+        ):
+            mismatches.append((k, "fr", g["fr"], e["fr"]))
+    assert not mismatches, f"{len(mismatches)}; first: {mismatches[:5]}"

@@ -70,3 +70,35 @@ def test_lsh_signature_stable(spark):
     sigs = {r["vec_id"]: r["sig"] for r in out}
     # opposite vectors → complementary sign bits
     assert sigs[1] ^ sigs[2] == (1 << sim.LSH_PLANES) - 1
+
+
+def test_ngram_tokenize_goldens(spark):
+    """NgramMatcherTest.scala fixtures: 'fooba foo' → [foo, oba, oob];
+    'foobar' → [bar, foo, oba, oob] (dedup + sort); short words drop."""
+    from metarank_spark.functions.text import char_ngrams_expr
+
+    df = spark.createDataFrame(
+        [("a", "fooba foo"), ("b", "foobar"), ("c", "ab x"), ("d", "")],
+        "id string, t string",
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", char_ngrams_expr("t").alias("g")).collect()}
+    assert got["a"] == ["foo", "oba", "oob"]
+    assert got["b"] == ["bar", "foo", "oba", "oob"]
+    assert got["c"] == []
+    assert got["d"] == []
+
+
+def test_ngram_score_goldens(spark):
+    """FieldMatcher.score fixtures: full match 1.0, half 0.5, none 0.0."""
+    from metarank_spark.functions.text import ngram_match_expr
+
+    df = spark.createDataFrame(
+        [("full", "abc"), ("half", "abcd"), ("none", "xyz")], "id string, t string"
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", ngram_match_expr("t", "abc").alias("s")).collect()
+    }
+    assert got["full"] == 1.0   # {abc} vs {abc}
+    assert got["half"] == 0.5   # {abc,bcd} vs {abc}
+    assert got["none"] == 0.0
