@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
     ap.add_argument("--materialize-input", action="store_true",
                     help="stage events once as a bucketed+sorted table before the range loop")
+    ap.add_argument("--materialize-series", action="store_true",
+                    help="two-phase: fold each scope group's write-value series once, "
+                         "then run assembly-only per range")
     args = ap.parse_args(argv)
 
     from metarank_spark.checkpoint import backfill, load_manifests
@@ -114,10 +117,14 @@ def main(argv: list[str] | None = None) -> int:
     completed = backfill(
         events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,
         materialize_input=args.materialize_input,
+        materialize_series=args.materialize_series,
     )
     for m in completed:
         print(json.dumps(m))
-    all_m = {k: m for k, m in load_manifests(args.output).items() if k >= 0}
+    all_m = {
+        k: m for k, m in load_manifests(args.output).items()
+        if isinstance(k, int) and k >= 0
+    }
     total_rows = sum(m["rows"] for m in all_m.values())
     total_sec = sum(m["wall_sec"] for m in all_m.values())
     print(json.dumps({

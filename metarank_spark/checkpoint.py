@@ -47,8 +47,26 @@ def input_fingerprint(events: DataFrame) -> str:
     return f"n={row['n']};lo={row['lo']};hi={row['hi']};h={row['h']}"
 
 
-def _manifest_path(output: str, rid: int) -> str:
-    return os.path.join(output, MANIFEST_DIR, f"range-{rid:05d}.json")
+def require_local_output(output: str) -> None:
+    """Manifests are read/written with driver-local file APIs while range
+    outputs go through Spark writers — on s3://, hdfs://, dbfs:/ etc. the
+    manifest phase would silently write to an unrelated driver-local dir
+    and defeat resume. Fail fast instead; routing manifest IO through the
+    Hadoop FileSystem API is the object-store upgrade path."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(//)?", output)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"backfill output {output!r} uses scheme {m.group(1)!r}: the "
+            "job-level resume manifests only support driver-local/NFS "
+            "paths (see require_local_output)"
+        )
+
+
+def _manifest_path(output: str, rid) -> str:
+    tag = f"{rid:05d}" if isinstance(rid, int) else str(rid).replace(":", "-")
+    return os.path.join(output, MANIFEST_DIR, f"range-{tag}.json")
 
 
 def load_manifests(output: str) -> dict[int, dict]:
@@ -82,6 +100,7 @@ def backfill(
     entity: str = "user_id",
     fail_after: int | None = None,
     materialize_input: bool = False,
+    materialize_series: bool = False,
 ) -> list[dict]:
     """Run the engine's training snapshot per entity range with
     resume-from-manifest. Returns the manifests of THIS run's completed
@@ -93,9 +112,16 @@ def backfill(
     global while the output is partitioned by the ranking's user) — ranges
     partition the OUTPUT, not the state, so resume never truncates state
     history.
+
+    ``materialize_series``: two-phase mode — the write-value series of
+    every merged scope group is folded ONCE per input fingerprint and
+    written under ``<output>/_series/`` (with its own resume manifest);
+    each range then runs assembly-only against the stored series instead
+    of re-folding all state n_ranges times.
     """
     from metarank_spark.operators.clickthrough import training_matrix
 
+    require_local_output(output)
     fp = input_fingerprint(events)
     done = {
         rid: m for rid, m in load_manifests(output).items() if m["input_fingerprint"] == fp
@@ -118,6 +144,29 @@ def backfill(
             })
         events = events.sparkSession.read.parquet(staged).drop("entity_bucket")
         done.pop(-1, None)
+    series = None
+    if materialize_series:
+        from metarank_spark.operators.clickthrough import inject_impressions
+
+        # phase A: fold every merged group's write-value series once over
+        # the SAME injected stream the per-range assembly will query
+        stream = inject_impressions(events)
+        manifests = load_manifests(output)
+        series = {}
+        for key, sdf in engine.write_series(stream).items():
+            safe = key.replace("::", "__")
+            rid = f"series:{safe}"
+            spath = os.path.join(output, "_series", safe)
+            m = manifests.get(rid)
+            if not (m and m["input_fingerprint"] == fp):
+                t0 = time.perf_counter()
+                sdf.write.mode("overwrite").parquet(spath)
+                write_manifest(output, {
+                    "range_id": rid, "input_fingerprint": fp, "rows": None,
+                    "output": spath, "wall_sec": round(time.perf_counter() - t0, 3),
+                    "rows_per_sec": None, "entity": entity, "n_ranges": n_ranges,
+                })
+            series[key] = events.sparkSession.read.parquet(spath)
     completed = []
     for rid in range(n_ranges):
         if rid in done:
@@ -130,6 +179,7 @@ def backfill(
         part = training_matrix(
             events, engine,
             ranking_pred=entity_range(F.col(entity), n_ranges) == rid,
+            series=series,
         )
         path = os.path.join(output, f"entity_range={rid}")
         part.write.mode("overwrite").parquet(path)

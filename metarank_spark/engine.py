@@ -375,7 +375,12 @@ class FeatureEngine:
 
     # ---------------- snapshot assembly ----------------
 
-    def ranking_values(self, events: DataFrame, ranking_pred: Column | None = None) -> DataFrame:
+    def ranking_values(
+        self,
+        events: DataFrame,
+        ranking_pred: Column | None = None,
+        series: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
         """One row per (ranking_id, position, item_id) with one column per
         feature — the offline-training feature matrix (ClickthroughValues
         parity surface, model/TrainValues.scala:13-15).
@@ -383,6 +388,12 @@ class FeatureEngine:
         ``ranking_pred`` restricts WHICH rankings get snapshots (e.g. one
         entity hash range of a checkpointed backfill) without truncating
         the state history — write series always see all events.
+
+        ``series`` maps scope-group keys (write_series() keys) to
+        pre-materialized write-value series; matching groups skip the
+        write-side fold and run assembly only (two-phase backfill).
+        Legacy-path features (interacted_with, normalized rate) always
+        fold from events.
         """
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
@@ -401,6 +412,27 @@ class FeatureEngine:
 
         # partition features: merged-scan path (one shuffle per scope) vs
         # legacy per-feature joins (interacted_with, normalized rate)
+        merged_groups, legacy, trivial = self._partition_features()
+
+        # chain scope groups: each merged scan carries ALL current columns
+        # through as query payload — no join back to base, so a K-feature
+        # pipeline is exactly K-distinct-scopes shuffles + the label join
+        out = base
+        for scope, cfgs in merged_groups.items():
+            out = self._run_scope_group(
+                events, out, scope, cfgs, series=(series or {}).get(scope)
+            )
+        for cfg in legacy:
+            out = self._attach(out, rankings, events, cfg)
+        for cfg in trivial:
+            out = self._attach(out, rankings, events, cfg)
+        return out.drop("relevancy") if not any(
+            isinstance(c, Relevancy) for c in self.features
+        ) else out
+
+    def _partition_features(self):
+        """Split features into merged-scan scope groups / legacy join path
+        / trivial per-row exprs."""
         merged_groups: dict[str, list] = {}
         legacy: list = []
         trivial: list = []
@@ -412,20 +444,21 @@ class FeatureEngine:
                 merged_groups.setdefault(scope, []).append(cfg)
             else:
                 legacy.append(cfg)
+        return merged_groups, legacy, trivial
 
-        # chain scope groups: each merged scan carries ALL current columns
-        # through as query payload — no join back to base, so a K-feature
-        # pipeline is exactly K-distinct-scopes shuffles + the label join
-        out = base
-        for scope, cfgs in merged_groups.items():
-            out = self._run_scope_group(events, out, scope, cfgs)
-        for cfg in legacy:
-            out = self._attach(out, rankings, events, cfg)
-        for cfg in trivial:
-            out = self._attach(out, rankings, events, cfg)
-        return out.drop("relevancy") if not any(
-            isinstance(c, Relevancy) for c in self.features
-        ) else out
+    def write_series(self, events: DataFrame) -> dict[str, DataFrame]:
+        """Phase A of the two-phase backfill: one write-value-series
+        DataFrame per merged scope group (operators/merge.write_series) —
+        the expensive per-write window fold, materialized once per input
+        and reused by every entity range's assembly pass."""
+        from metarank_spark.operators.merge import write_series as _ws
+
+        merged_groups, _, _ = self._partition_features()
+        out = {}
+        for scope_key, cfgs in merged_groups.items():
+            writes, feats = self._compile_scope_group(events, scope_key, cfgs)
+            out[scope_key] = _ws(writes, "entity", feats)
+        return out
 
     # ---------------- merged-scan compilation ----------------
 
@@ -447,19 +480,36 @@ class FeatureEngine:
             return f"{cfg.scope}::pool::{cfg.name}"
         return None
 
-    def _run_scope_group(self, events, base, scope, cfgs):
+    def _run_scope_group(self, events, base, scope_key, cfgs, series=None):
         """Build the merged write+query stream for one scope and compute all
         of its features in a single sorted-partition pass. ``base`` rows
         (one per ranking-item, plus any already-attached feature columns)
-        ride through as query payload; the result is base + new columns."""
-        scope = scope.split("::")[0]  # pool groups encode scope::pool::name
-        ent_write = _entity_col(scope)
+        ride through as query payload; the result is base + new columns.
+
+        ``series``: a pre-materialized write-value series for this scope
+        group (FeatureEngine.write_series output read back from storage) —
+        when given, the expensive write-side window fold is skipped and
+        only the as-of assembly runs (two-phase backfill)."""
+        scope = scope_key.split("::")[0]  # pool groups encode scope::pool::name
         ent_read = {
             "item": F.col("item_id"), "user": F.col("user_id"),
             "session": F.col("session_id"), "global": F.lit(GLOBAL_ENTITY),
         }[scope]
         qkeys = [c for c in base.columns if c not in ("ts_ms", "seq")]
         queries = base.select(ent_read.alias("entity"), "ts_ms", "seq", *qkeys)
+        writes, feats = self._compile_scope_group(events, scope_key, cfgs)
+        if series is not None:
+            from metarank_spark.operators.merge import assemble_from_series
+
+            return assemble_from_series(queries, series, "entity", feats, qkeys)
+        return run_merged(queries, writes, "entity", feats, qkeys)
+
+    def _compile_scope_group(self, events, scope_key, cfgs):
+        """Compile one scope group to (writes_df, MergedFeature list):
+        write predicates, payload columns, write-side window exprs, and
+        finish exprs — everything except the query side."""
+        scope = scope_key.split("::")[0]
+        ent_write = _entity_col(scope)
 
         preds, payloads, feats = [], {}, []
         itypes: dict[str, str] = {}
@@ -692,7 +742,7 @@ class FeatureEngine:
             ent_write.alias("entity"), "ts_ms", "seq",
             *[expr.alias(n) for n, expr in payloads.items()],
         ).filter(F.col("entity").isNotNull())
-        return run_merged(queries, writes, "entity", feats, qkeys)
+        return writes, feats
 
     # dispatch
     def _attach(self, base, rankings, events, cfg) -> DataFrame:

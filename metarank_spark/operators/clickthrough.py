@@ -16,8 +16,15 @@ Reference semantics:
   (SURVEY.md §3.1 item 3). This batch engine orders them deterministically
   right after the clickthrough's last real interaction (commit-at-
   completion). Values (ts/id/items) match the reference exactly; only the
-  visibility *delay* within a still-open session is earlier. Documented
-  deviation, revisit if parity tests demand commit-at-expiry.
+  visibility *delay* within a still-open session is earlier — the
+  reference flushes at last_interaction.ts + maxSessionLength
+  (TrainBuffer.scala:160-167 expireAfterWrite on the event ticker, reset
+  per interaction put), so a later same-session ranking inside that
+  window sees the impressions here but not upstream. Pinned by
+  tests/test_clickthrough.py::test_impression_visibility_commit_at_completion;
+  a faithful commit-at-expiry needs a commit-ts/value-ts split in the
+  merged scan's ordering (late writes land in old buckets), not just a
+  different seq.
 
 Plan shape: one equi-join interactions→rankings on ranking_id (broadcastable
 when rankings-per-partition are small; AQE picks the strategy), one groupBy
@@ -103,14 +110,19 @@ def training_matrix(
     interaction_weights: dict[str, float] | None = None,
     inject: bool = True,
     ranking_pred=None,
+    series=None,
 ) -> DataFrame:
     """ClickthroughValues-equivalent table: per (ranking, position, item)
     feature columns + label from interaction weights
     (flow/ClickthroughQuery.scala:9-74; labels via weights, default
-    click=1.0, non-interacted=0.0). The allclose parity surface."""
+    click=1.0, non-interacted=0.0). The allclose parity surface.
+
+    ``series``: pre-materialized write-value series per scope group
+    (engine.write_series over the SAME injected stream) — two-phase
+    backfill's assembly-only path."""
     weights = interaction_weights or {"click": 1.0}
     stream = inject_impressions(events) if inject else events
-    values = engine.ranking_values(stream, ranking_pred=ranking_pred)
+    values = engine.ranking_values(stream, ranking_pred=ranking_pred, series=series)
 
     ints = events.filter(
         (F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull()

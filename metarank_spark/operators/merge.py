@@ -80,7 +80,18 @@ def run_merged(
     inter = merged.select("*", *[
         expr.alias(n) for f in features for n, expr in f.write_cols.items()
     ])
+    return _carry_and_finish(inter, entity, features, query_keys)
 
+
+def _carry_and_finish(
+    inter: DataFrame,
+    entity: str,
+    features: list[MergedFeature],
+    query_keys: list[str],
+) -> DataFrame:
+    """Shared tail of the merged scan: carry the latest strictly-before
+    write value to each query row and apply each feature's finish expr."""
+    all_write_names = [n for f in features for n in f.write_cols]
     strict = (
         Window.partitionBy(entity)
         .orderBy(*ORDER)
@@ -99,6 +110,72 @@ def run_merged(
         for f in features
     ]
     return out.select(*query_keys, "ts_ms", "seq", *feature_cols)
+
+
+def write_series(
+    writes: DataFrame,
+    entity: str,
+    features: list[MergedFeature],
+) -> DataFrame:
+    """Phase A of the two-phase backfill: the write-value series — each
+    feature's write_cols evaluated over the writes-only stream, one row
+    per write with its (masked) carried values.
+
+    Legal because every write-side expression is query-row-insensitive by
+    construction: query rows enter the merged frame with null payloads, so
+    sums/last/collect skip them and when()-flags contribute 0 — evaluating
+    over writes alone yields bit-identical values at the write rows. This
+    is what lets a checkpointed backfill materialize the series ONCE per
+    input fingerprint and re-run only the (cheap) as-of assembly per
+    entity range, instead of re-folding all state n_ranges times."""
+    # write-side window specs order by (ts_ms, seq, __side); supply the
+    # side marker as a constant (all rows are writes here)
+    w = writes.withColumn("__side", F.lit(SIDE_WRITE))
+    return w.select(
+        F.col(entity),
+        F.col("ts_ms"),
+        F.col("seq"),
+        *[expr.alias(n) for f in features for n, expr in f.write_cols.items()],
+    )
+
+
+def assemble_from_series(
+    queries: DataFrame,
+    series: DataFrame,
+    entity: str,
+    features: list[MergedFeature],
+    query_keys: list[str],
+) -> DataFrame:
+    """Phase B: attach features to query rows from a pre-computed
+    write-value series (write_series output — typically read back from
+    parquet). Same output as run_merged, but the per-range cost is one
+    union+sort of (series + in-range queries) with a plain last-value
+    carry — no window re-aggregation."""
+    all_write_names = [n for f in features for n in f.write_cols]
+    q = queries.select(
+        F.col(entity),
+        F.col("ts_ms"),
+        F.col("seq"),
+        F.lit(SIDE_QUERY).alias("__side"),
+        *[F.col(k) for k in query_keys],
+        *[
+            F.lit(None).cast(series.schema[n].dataType).alias(n)
+            for n in all_write_names
+        ],
+    )
+    w = series.select(
+        F.col(entity),
+        F.col("ts_ms"),
+        F.col("seq"),
+        F.lit(SIDE_WRITE).alias("__side"),
+        *[
+            F.lit(None).cast(queries.schema[k].dataType).alias(k)
+            for k in query_keys
+        ],
+        *[F.col(n) for n in all_write_names],
+    )
+    merged = q.unionByName(w)
+    return _carry_and_finish(merged, entity, features, query_keys)
 
 
 # ---------- frame helpers usable inside write_cols ----------

@@ -92,3 +92,67 @@ def test_backfill_input_change_invalidates(spark, tmp_path):
     ev2 = ev.filter(F.col("seq") <= 60)
     completed = backfill(ev2, eng, out, n_ranges=2)
     assert len(completed) == 2
+
+
+def test_backfill_two_phase_same_result(spark, tmp_path):
+    """materialize_series (phase A fold + per-range assembly) must be
+    bit-identical to the one-phase run, and a rerun must reuse the stored
+    series (its manifest matches the fingerprint)."""
+    ev = _events(spark)
+    from metarank_spark.engine import Rate, WindowCount
+
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("cnt7", "click", (7,)),
+        Rate("ctr", "click", "impression", (7,)),
+    ])
+
+    single = str(tmp_path / "one_phase")
+    backfill(ev, eng, single, n_ranges=4)
+
+    two = str(tmp_path / "two_phase")
+    backfill(ev, eng, two, n_ranges=4, materialize_series=True)
+
+    def canon(v):
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return v
+
+    def collect(path):
+        df = spark.read.parquet(*[
+            os.path.join(path, d) for d in os.listdir(path)
+            if d.startswith("entity_range=")
+        ])
+        return sorted(
+            (r["ranking_id"], r["item_id"], r["clicks"],
+             tuple(map(canon, r["cnt7"])), tuple(map(canon, r["ctr"])), r["label"])
+            for r in df.collect()
+        )
+
+    assert collect(single) == collect(two)
+    series_manifests = {
+        k: m for k, m in load_manifests(two).items() if isinstance(k, str)
+    }
+    assert series_manifests, "series phase must write resume manifests"
+    walls = {k: m["wall_sec"] for k, m in series_manifests.items()}
+    # rerun: everything (ranges AND series) is up to date — no work
+    again = backfill(ev, eng, two, n_ranges=4, materialize_series=True)
+    assert again == []
+    assert {
+        k: m["wall_sec"]
+        for k, m in load_manifests(two).items()
+        if isinstance(k, str)
+    } == walls  # series was not re-folded
+
+
+def test_backfill_rejects_remote_output(spark):
+    from metarank_spark.checkpoint import require_local_output
+
+    ev = _events(spark)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    with pytest.raises(ValueError, match="driver-local"):
+        backfill(ev, eng, "s3://bucket/features", n_ranges=2)
+    require_local_output("/tmp/x")       # local ok
+    require_local_output("file:///tmp/x")  # explicit file scheme ok

@@ -76,3 +76,49 @@ def test_training_matrix_rate_via_injected_impressions(spark):
     # r1 snapshot strictly-before: no state at all
     import math
     assert all(math.isnan(x) for x in got[("r1", "p1")]["ctr"])
+
+
+def test_impression_visibility_commit_at_completion(spark):
+    """Pins the documented ordering deviation (clickthrough.py header):
+
+    Reference: a clickthrough's injected impressions commit when the
+    session buffer EVICTS it — expireAfterWrite(maxSessionLength) on an
+    event-time ticker, reset by every interaction put (TrainBuffer.scala:
+    160-167 + evictionListener), so visibility starts at
+    last_interaction.ts + maxSessionLength even though the impression
+    events carry the ranking's ts.
+
+    This engine: injected impressions sort immediately after the
+    clickthrough's last real interaction (commit-at-completion,
+    inject_impressions seq = 2*last_int_seq+1). A later ranking of the
+    same session INSIDE the reference's expiry window therefore sees them
+    here but would not in a live reference run. Values (ts/items/ids) are
+    identical; only the visibility point within a still-open session
+    differs. Revisit only if a consumer needs read-your-session-writes
+    parity during open sessions — it requires a commit-ts/value-ts split
+    in the merged scan's ordering."""
+    from metarank_spark.engine import FeatureEngine, InteractionCount
+    from metarank_spark.events import events_df, interaction_event, ranking_event
+
+    t0 = 1_700_000_000_000
+    rows = [
+        ranking_event("r1", ["p1", "p2"], t0, 1, user="u1", session="s1"),
+        interaction_event("p2", "click", t0 + 1_000, 2, user="u1",
+                          session="s1", ranking="r1"),
+        # second ranking 10 min later — inside the reference's 30-min
+        # session window, so the reference would NOT yet see r1's
+        # injected impressions here
+        ranking_event("r2", ["p1", "p2"], t0 + 600_000, 3, user="u1", session="s1"),
+        interaction_event("p1", "click", t0 + 601_000, 4, user="u1",
+                          session="s1", ranking="r2"),
+    ]
+    eng = FeatureEngine([InteractionCount("imps", "impression", scope="user")])
+    out = {
+        (r["ranking_id"], r["item_id"]): r["imps"]
+        for r in training_matrix(events_df(spark, rows), eng).collect()
+    }
+    # r1's snapshot predates everything: 0 impressions
+    assert out[("r1", "p1")] == 0.0
+    # commit-at-completion: r2 sees r1's 2 injected impressions (items up
+    # to the max interacted position: p1, p2). Commit-at-expiry would be 0.
+    assert out[("r2", "p1")] == 2.0

@@ -77,3 +77,33 @@ def test_rerank_orders_by_score(spark):
     out = {r["item_id"]: r for r in rerank(tm, ["clicks"], [1.0]).collect()}
     assert out["p1"]["new_position"] == 0  # 2 clicks → top
     assert out["p2"]["new_position"] == 1
+
+
+def test_no_unpartitioned_windows_in_driver_queries(spark):
+    """Scale gate: no driver-contract query may plan a global (partition-
+    less) Window — that stage funnels the whole input through ONE
+    partition. Exempt: windows whose input is already bounded to ≤k rows
+    (none currently) and the tiny boundary-pair window inside
+    check_ordering (one row per partition by construction)."""
+    import __spark_entry__ as em
+
+    # global windows whose INPUT is bounded by construction (and therefore
+    # safe): rate_normalized runs its cumulative window over per-bucket
+    # global totals (one row per day bucket); data_quality's is
+    # check_ordering's boundary-pair lag (one row per input partition).
+    # The count is pinned so a new global window in those queries still
+    # trips the gate.
+    allowed = {"rate_normalized": 1, "data_quality": 1}
+    offenders = {}
+    for name, q in em.queries().items():
+        plan = plan_of(q(spark, SF_SMALL))
+        hits = []
+        for mm in re.finditer(r"Window \[(.{0,400})", plan):
+            frag = mm.group(1)
+            # partition spec appears as: windowspecdefinition(col, ...)
+            # a global window has no partition columns before the sort spec
+            if re.search(r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC))", frag):
+                hits.append(frag[:120])
+        if len(hits) > allowed.get(name, 0):
+            offenders[name] = hits
+    assert not offenders, f"global windows in: {offenders}"

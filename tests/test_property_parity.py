@@ -177,3 +177,52 @@ def test_sampled_pools_match_filtered_oracle(spark, seed):
         ):
             mismatches.append((k, "fr", g["fr"], e["fr"]))
     assert not mismatches, f"{len(mismatches)}; first: {mismatches[:5]}"
+
+
+def test_two_phase_series_equals_direct(spark):
+    """write_series + assemble (two-phase) must be bit-identical to the
+    direct merged scan for every merged-path feature type — this is the
+    query-row-insensitivity contract write_series relies on."""
+    from metarank_spark.engine import Number as Num
+    from metarank_spark.engine import StringEncode
+
+    rows = gen_events(5)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("wcnt", "click", (7,)),
+        Rate("ctr", "click", "impression", (7,)),
+        Num("price", "price"),
+        StringEncode("kind1", "kind", ("a", "b", "c"), encode="onehot"),
+        Stats("st", "price", pool=5, percentiles=(50,)),
+        Freq("fr", "kind", pool=5),
+        RecentItems("rec", "click", count=3, scope="user"),
+    ])
+    ev = events_df(spark, rows)
+    direct = {
+        (r["ranking_id"], r["item_id"], r["position"]): r.asDict()
+        for r in eng.ranking_values(ev).collect()
+    }
+    via = {
+        (r["ranking_id"], r["item_id"], r["position"]): r.asDict()
+        for r in eng.ranking_values(ev, series=eng.write_series(ev)).collect()
+    }
+    assert set(direct) == set(via)
+    feats = ["clicks", "wcnt", "ctr", "price", "kind1", "st", "fr", "rec"]
+    mism = []
+    for k, d in direct.items():
+        v = via[k]
+        for f in feats:
+            a, b = d[f], v[f]
+            if isinstance(a, dict) or isinstance(b, dict):
+                ok = (a or None) == (b or None) or (
+                    a and b and set(a) == set(b)
+                    and all(abs(a[x] - b[x]) < 1e-12 for x in a)
+                )
+            elif isinstance(a, list) and not all(isinstance(x, float) for x in a or []):
+                ok = list(a or []) == list(b or [])
+            else:
+                ok = close(a if not isinstance(a, list) else list(a),
+                           b if not isinstance(b, list) else list(b))
+            if not ok:
+                mism.append((k, f, a, b))
+    assert not mism, f"{len(mism)} mismatches; first: {mism[:5]}"
