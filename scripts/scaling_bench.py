@@ -117,6 +117,14 @@ def main() -> int:
     )
     best = max(pairs, key=lambda p: p["efficiency"])
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # preserve manually maintained sections (end-to-end backfill, two-phase,
+    # linearity) below the scaling block when regenerating
+    tail = ""
+    marker = "## End-to-end checkpointed backfill"
+    if os.path.exists(args.out):
+        existing = open(args.out).read()
+        if marker in existing:
+            tail = "\n" + existing[existing.index(marker):]
     with open(args.out, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — engine throughput & scaling evidence
 
@@ -157,6 +165,7 @@ events/s (BASELINE.md import table). This engine at 16 threads emits
 ~560k feature rows/s — roughly 35k rows/s per core, i.e. >100x the
 reference per-core rate at identical semantics (golden-tested).
 """)
+        fh.write(tail)
     return 0
 
 

@@ -87,13 +87,11 @@ def test_no_unpartitioned_windows_in_driver_queries(spark):
     check_ordering (one row per partition by construction)."""
     import __spark_entry__ as em
 
-    # global windows whose INPUT is bounded by construction (and therefore
-    # safe): rate_normalized runs its cumulative window over per-bucket
-    # global totals (one row per day bucket); data_quality's is
-    # check_ordering's boundary-pair lag (one row per input partition).
-    # The count is pinned so a new global window in those queries still
-    # trips the gate.
-    allowed = {"rate_normalized": 1, "data_quality": 1}
+    # Bounded-input single-partition windows (rate_normalized's per-bucket
+    # global totals, check_ordering's boundary pairs) declare themselves
+    # with an explicit constant partition key, so ANY unpartitioned window
+    # spec is an offense.
+    allowed: dict[str, int] = {}
     offenders = {}
     for name, q in em.queries().items():
         plan = plan_of(q(spark, SF_SMALL))
