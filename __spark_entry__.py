@@ -206,6 +206,25 @@ def q_freq_share(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(ops.freq_share(_ev(spark, sf), "click", pool=10), "freq_share")
 
 
+def q_stats_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """StatsEstimator percentiles over the 10-sample pool (exact linear
+    interpolation, Guava Quantiles parity — model/Feature.scala:213-234).
+    Complements `stats_window` (min/max/avg) with the p50/p90 read."""
+    ev = _ev(spark, sf).filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return _keys(
+        ev.withColumns({
+            "stat_p50": F.round(F.percentile(F.col("value"), F.lit(0.5)).over(w), 6),
+            "stat_p90": F.round(F.percentile(F.col("value"), F.lit(0.9)).over(w), 6),
+        }),
+        "stat_p50", "stat_p90",
+    )
+
+
 def q_freq_share_sampled(spark: SparkSession, sf: str) -> DataFrame:
     """FreqEstimator with sampleRate=0.5 (model/Feature.scala:249
     shouldSample): the pool sees only hash-accepted writes; every event
@@ -924,6 +943,13 @@ _ORACLES: dict[str, str] = {
             / (count(*) OVER w) AS freq_share
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "stats_percentile": f"""
+        {EV}, p AS (SELECT * FROM ev WHERE event_type='purchase')
+        SELECT {KEYS},
+          round(quantile_cont(value, 0.5) OVER w, 6) AS stat_p50,
+          round(quantile_cont(value, 0.9) OVER w, 6) AS stat_p90
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
     "freq_share_sampled": f"""
         {EV}, acc AS (
           SELECT * FROM ev
@@ -1003,6 +1029,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "bounded_list": q_bounded_list,
     "stats_window": q_stats_window,
+    "stats_percentile": q_stats_percentile,
     "freq_share": q_freq_share,
     "freq_share_sampled": q_freq_share_sampled,
     "map_feature": q_map_feature,

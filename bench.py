@@ -32,6 +32,11 @@ HEADLINE = [
     "dedup_minhash",
     "simhash",
     "ann_cosine",
+    "ann_lsh",
+    "ann_ivf",
+    "ngram_match",
+    "freq_share_sampled",
+    "token_stats",
     "bm25",
 ]
 

@@ -231,3 +231,182 @@ def run_stream_to_parquet(
     if await_sec is not None:
         q.awaitTermination(await_sec)
     return q
+
+
+SCALAR_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+SCALAR_STATE = T.StructType([T.StructField("last", T.DoubleType())])
+
+
+def _make_scalar_fn():
+    def fn(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            vals = []
+            for w in pdf["w"].values:
+                if w == w and w is not None:  # non-NaN write
+                    last = float(w)
+                vals.append(last)
+            out.append(pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+                "value": vals,
+            }))
+        state.update((last,))
+        yield from out
+
+    return fn
+
+
+def streaming_last_scalar(events: DataFrame, value, entity: str = "user_id") -> DataFrame:
+    """ScalarFeature streaming twin (MemScalarFeature.scala:14-17): carry
+    the latest non-null ``value`` write to every event of the entity —
+    the incremental as-of read. State is one double per key."""
+    src = events.select(
+        F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("w")
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _make_scalar_fn(),
+        outputStructType=SCALAR_OUT,
+        stateStructType=SCALAR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BLIST_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("recent", T.StringType()),
+    ]
+)
+BLIST_STATE = T.StructType(
+    [
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _make_blist_fn(count: int, duration_ms: int, sep: str):
+    def fn(key, pdfs, state: GroupState):
+        ts_l, vs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            joined = []
+            for t, v in zip(pdf["ts_ms"].values, pdf["v"].values):
+                # MemBoundedList.scala:18-37: prepend, filter
+                # ts >= append.ts - duration, take(count)
+                ts_l.insert(0, int(t))
+                vs.insert(0, str(v))
+                cutoff = int(t) - duration_ms
+                kept = [(tt, vv) for tt, vv in zip(ts_l, vs) if tt >= cutoff][:count]
+                ts_l = [tt for tt, _ in kept]
+                vs = [vv for _, vv in kept]
+                joined.append(sep.join(vs))
+            out.append(pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+                "recent": joined,
+            }))
+        state.update((ts_l, vs))
+        yield from out
+
+    return fn
+
+
+def streaming_bounded_list(
+    events: DataFrame,
+    value,
+    count: int,
+    duration_ms: int,
+    entity: str = "user_id",
+    sep: str = ",",
+) -> DataFrame:
+    """BoundedListFeature streaming twin: evict-on-write deque per key
+    (newest first, time+count eviction), emitted as the joined string at
+    every append — read-at-write parity with ops.bounded_list_string.
+    State is at most ``count`` (ts, value) pairs per key."""
+    src = events.select(
+        F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _make_blist_fn(count, duration_ms, sep),
+        outputStructType=BLIST_OUT,
+        stateStructType=BLIST_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+STATS_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("stat_min", T.DoubleType()),
+        T.StructField("stat_max", T.DoubleType()),
+        T.StructField("stat_avg", T.DoubleType()),
+        T.StructField("stat_n", T.LongType()),
+    ]
+)
+STATS_STATE = T.StructType([T.StructField("pool", T.ArrayType(T.DoubleType()))])
+
+
+def _make_stats_fn(pool: int):
+    def fn(key, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            rows = []
+            for v in pdf["v"].values:
+                vals.append(float(v))
+                vals = vals[-pool:]
+                rows.append((min(vals), max(vals),
+                             round(sum(vals) / len(vals), 6), len(vals)))
+            frame = pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+            })
+            frame["stat_min"], frame["stat_max"], frame["stat_avg"], frame["stat_n"] = (
+                [r[0] for r in rows], [r[1] for r in rows],
+                [r[2] for r in rows], [r[3] for r in rows],
+            )
+            out.append(frame)
+        state.update((vals,))
+        yield from out
+
+    return fn
+
+
+def streaming_stats_pool(
+    events: DataFrame, value, pool: int = 10, entity: str = "user_id"
+) -> DataFrame:
+    """StatsEstimator streaming twin (model/Feature.scala:213-234): bounded
+    last-``pool`` sample deque per key, min/max/avg/n emitted at every
+    sample — read-at-write parity with ops.stats_window."""
+    src = events.select(
+        F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("v")
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _make_stats_fn(pool),
+        outputStructType=STATS_OUT,
+        stateStructType=STATS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -185,3 +185,96 @@ def test_multimodal_real_codec_is_explicit_stub(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media("image", b"\x89PNG...", fake=False)
+
+
+def _mixed_events(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows, seq = [], 0
+    for u in range(4):
+        for k in range(12):
+            seq += 1
+            typ = rnd.choice(["click", "view", "purchase"])
+            e = interaction_event("p1", typ, T0 + k * 40_000 + u, seq, user=f"u{u}")
+            e["num_fields"] = {"price": float((seq * 7) % 23)}
+            rows.append(e)
+    return events_df(spark, rows)
+
+
+def _drive(spark, tmp_path, tag, result):
+    out_path, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}")
+    q = run_stream_to_parquet(result, out_path, ckpt)
+    q.awaitTermination(120)
+    return spark.read.parquet(out_path)
+
+
+def test_streaming_last_scalar_matches_batch(spark, tmp_path):
+    from metarank_spark import operators as ops
+    from metarank_spark.streaming.pipeline import streaming_last_scalar
+
+    ev = _mixed_events(spark)
+    src = str(tmp_path / "ev_scalar")
+    ev.write.parquet(src)
+    value = F.when(
+        F.col("interaction_type") == "purchase", F.col("num_fields").getItem("price")
+    )
+    got_df = _drive(spark, tmp_path, "scalar", streaming_last_scalar(
+        stream_events(spark, src), value))
+    got = {(r["entity"], r["seq"]): r["value"] for r in got_df.collect()}
+    exp_df = ops.last_scalar(
+        ev.withColumn("event_id", F.col("seq")), value, out="value")
+    exp = {(r["user_id"], r["seq"]): r["value"] for r in exp_df.collect()}
+
+    import math
+
+    def eq(a, b):
+        if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+            return (a is None or (isinstance(a, float) and math.isnan(a))) and (
+                b is None or (isinstance(b, float) and math.isnan(b)))
+        return abs(a - b) < 1e-12
+
+    assert got.keys() == exp.keys()
+    assert all(eq(got[k], exp[k]) for k in exp)
+
+
+def test_streaming_bounded_list_matches_batch(spark, tmp_path):
+    from metarank_spark import operators as ops
+    from metarank_spark.streaming.pipeline import streaming_bounded_list
+
+    ev = _mixed_events(spark)
+    src = str(tmp_path / "ev_blist")
+    ev.write.parquet(src)
+    got_df = _drive(spark, tmp_path, "blist", streaming_bounded_list(
+        stream_events(spark, src), F.col("interaction_type"),
+        count=3, duration_ms=100_000))
+    got = {(r["entity"], r["seq"]): r["recent"] for r in got_df.collect()}
+    exp_df = ops.bounded_list_string(
+        ev.withColumn("event_id", F.col("seq")), F.col("interaction_type"),
+        count=3, duration_ms=100_000, out="recent")
+    exp = {(r["user_id"], r["seq"]): r["recent"] for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_streaming_stats_pool_matches_batch(spark, tmp_path):
+    from metarank_spark import operators as ops
+    from metarank_spark.streaming.pipeline import streaming_stats_pool
+
+    ev = _mixed_events(spark)
+    src = str(tmp_path / "ev_stats")
+    ev.write.parquet(src)
+    got_df = _drive(spark, tmp_path, "stats", streaming_stats_pool(
+        stream_events(spark, src), F.col("num_fields").getItem("price"), pool=5))
+    got = {
+        (r["entity"], r["seq"]): (r["stat_min"], r["stat_max"], r["stat_avg"], r["stat_n"])
+        for r in got_df.collect()
+    }
+    exp_df = ops.stats_window(
+        ev.withColumn("event_id", F.col("seq"))
+        .withColumn("value", F.col("num_fields").getItem("price")),
+        "value", pool=5)
+    exp = {
+        (r["user_id"], r["seq"]): (r["stat_min"], r["stat_max"], r["stat_avg"], r["stat_n"])
+        for r in exp_df.collect()
+    }
+    assert got == exp
