@@ -410,3 +410,113 @@ def streaming_stats_pool(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FREQ_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("freq_share", T.DoubleType()),
+    ]
+)
+FREQ_STATE = T.StructType([T.StructField("pool", T.ArrayType(T.StringType()))])
+
+
+def _make_freq_fn(target: str, pool: int):
+    def fn(key, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            shares = []
+            for v in pdf["v"].values:
+                vals.append(str(v))
+                vals = vals[-pool:]
+                shares.append(sum(1 for x in vals if x == target) / len(vals))
+            out.append(pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+                "freq_share": shares,
+            }))
+        state.update((vals,))
+        yield from out
+
+    return fn
+
+
+def streaming_freq_share(
+    events: DataFrame, value, target: str, pool: int = 10, entity: str = "user_id"
+) -> DataFrame:
+    """FreqEstimator streaming twin (model/Feature.scala:112-126): bounded
+    last-``pool`` sample deque; emits the relative frequency of ``target``
+    at every sample — read-at-write parity with ops.freq_share."""
+    src = events.select(
+        F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _make_freq_fn(target, pool),
+        outputStructType=FREQ_OUT,
+        stateStructType=FREQ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MAP_OUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("map_state", T.StringType()),
+    ]
+)
+MAP_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_map_fn():
+    def fn(key, pdfs, state: GroupState):
+        m = dict(zip(*state.get)) if state.exists else {}
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            snap = []
+            for mk, v in zip(pdf["mk"].values, pdf["v"].values):
+                m[str(mk)] = float(v)  # PutTuple upsert
+                snap.append(",".join(f"{k}={m[k]}" for k in sorted(m)))
+            out.append(pd.DataFrame({
+                "entity": key[0],
+                "ts_ms": pdf["ts_ms"].values,
+                "seq": pdf["seq"].values,
+                "map_state": snap,
+            }))
+        state.update((list(m.keys()), list(m.values())))
+        yield from out
+
+    return fn
+
+
+def streaming_map_feature(
+    events: DataFrame, map_key, value, entity: str = "user_id"
+) -> DataFrame:
+    """MapFeature streaming twin (MemMapFeature.scala:12-24 PutTuple
+    upserts): per-key map state, emitted at every write as a
+    deterministic sorted k=v rendering. The final emission per entity
+    equals the batch final-state read (ops.map_feature_last)."""
+    src = events.select(
+        F.col(entity).alias("entity"), "ts_ms", "seq",
+        map_key.cast("string").alias("mk"), value.cast("double").alias("v"),
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _make_map_fn(),
+        outputStructType=MAP_OUT,
+        stateStructType=MAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -278,3 +278,50 @@ def test_streaming_stats_pool_matches_batch(spark, tmp_path):
         for r in exp_df.collect()
     }
     assert got == exp
+
+
+def test_streaming_freq_share_matches_batch(spark, tmp_path):
+    from metarank_spark import operators as ops
+    from metarank_spark.streaming.pipeline import streaming_freq_share
+
+    ev = _mixed_events(spark)
+    src = str(tmp_path / "ev_freq")
+    ev.write.parquet(src)
+    got_df = _drive(spark, tmp_path, "freq", streaming_freq_share(
+        stream_events(spark, src), F.col("interaction_type"), "click", pool=5))
+    got = {(r["entity"], r["seq"]): r["freq_share"] for r in got_df.collect()}
+    exp_df = ops.freq_share(
+        ev.withColumn("event_id", F.col("seq"))
+        .withColumn("event_type", F.col("interaction_type")),
+        "click", pool=5)
+    exp = {(r["user_id"], r["seq"]): r["freq_share"] for r in exp_df.collect()}
+    assert got.keys() == exp.keys()
+    assert all(abs(got[k] - exp[k]) < 1e-12 for k in exp)
+
+
+def test_streaming_map_feature_matches_batch_final_state(spark, tmp_path):
+    from metarank_spark import operators as ops
+    from metarank_spark.streaming.pipeline import streaming_map_feature
+
+    ev = _mixed_events(spark)
+    src = str(tmp_path / "ev_map")
+    ev.write.parquet(src)
+    got_df = _drive(spark, tmp_path, "map", streaming_map_feature(
+        stream_events(spark, src), F.col("interaction_type"),
+        F.col("num_fields").getItem("price")))
+    # last emission per entity = final map state
+    rows = sorted(got_df.collect(), key=lambda r: (r["ts_ms"], r["seq"]))
+    final = {}
+    for r in rows:
+        final[r["entity"]] = r["map_state"]
+    exp_df = ops.map_feature_last(
+        ev.withColumn("event_id", F.col("seq"))
+        .withColumn("event_type", F.col("interaction_type"))
+        .withColumn("value", F.col("num_fields").getItem("price")))
+    exp = {}
+    for r in exp_df.collect():
+        exp.setdefault(r["user_id"], {})[r["map_key"]] = r["last_value"]
+    exp_str = {
+        u: ",".join(f"{k}={m[k]}" for k in sorted(m)) for u, m in exp.items()
+    }
+    assert final == exp_str
