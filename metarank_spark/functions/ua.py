@@ -4,10 +4,14 @@ pattern classifiers (the Spark analog of feature/UserAgentFeature.scala:
 snowplow referer-parser).
 
 Pure `F.when` chains over lowercase substring tests: JVM-side, SQL-
-expressible, no per-row Python. The taxonomies mirror the reference's
-one-hot dimensions (ua/PlatformField etc.: mobile|desktop|tablet;
-browser: chrome|firefox|safari|edge|opera; os: windows|macos|linux|
-android|ios; referer medium: search|social|email|internal|unknown)."""
+expressible, no per-row Python. Values and decision rules match the
+reference's uap-derived taxonomies exactly — platform mobile|desktop|
+tablet with the iOS-device / Android-'Mobile'-token split
+(ua/PlatformField.scala:44-64); os ios|android|windows|osx|linux|chromeos
+(OSField OSNames); browser safari|chrome|other|edge|firefox|opera|ie
+(BrowserField browsers map); unknown families read as null (the
+reference's None → all-zero onehot); referer medium
+search|social|email|internal|unknown (RefererFeature.scala:32-37)."""
 
 from __future__ import annotations
 
@@ -22,42 +26,85 @@ def _has(c: Column, *subs: str) -> Column:
     return out
 
 
+def _null() -> Column:
+    return F.lit(None).cast("string")
+
+
+# uap-derived desktop browser-family tokens (ua/PlatformField.scala
+# desktop set, expressed as raw-UA substrings)
+_DESKTOP_TOKENS = (
+    "msie", "trident", "edg", "opr/", "opera", "firefox", "chrome",
+    "chromium", "safari", "seamonkey", "yandex", "maxthon", "iron",
+)
+
+
 def ua_platform(ua: Column | str) -> Column:
+    """ua/PlatformField.scala:44-64 decision order: iOS device family
+    (iPad→tablet, iPhone→mobile), then Android split on the 'Mobile'
+    UA token (present→mobile, absent→TABLET — real Android tablets),
+    then the mobile/desktop browser-family sets; unknown → null
+    (the reference returns None, encoded as the all-zero onehot)."""
     c = F.lower(F.col(ua) if isinstance(ua, str) else ua)
     return (
-        F.when(_has(c, "ipad", "tablet"), "tablet")
-        .when(_has(c, "mobile", "iphone", "android"), "mobile")
-        .otherwise("desktop")
+        F.when(c.contains("ipad"), "tablet")
+        .when(_has(c, "iphone", "ipod"), "mobile")
+        .when(c.contains("android") & c.contains("mobile"), "mobile")
+        .when(c.contains("android"), "tablet")
+        .when(
+            _has(c, "opera mini", "opera mobi", "ucbrowser", "silk",
+                 "blackberry", "iemobile", "windows phone"),
+            "mobile",
+        )
+        .when(c.contains("tablet"), "tablet")
+        .when(_has(c, *_DESKTOP_TOKENS), "desktop")
+        .otherwise(_null())
     )
 
 
 def ua_os(ua: Column | str) -> Column:
+    """ua/OSField.scala OSNames map: ios|android|windows|osx|linux|chromeos;
+    anything else (incl. Windows Phone, whose uap family is not in the
+    map) reads as missing (null)."""
     c = F.lower(F.col(ua) if isinstance(ua, str) else ua)
     return (
-        F.when(_has(c, "android"), "android")
-        .when(_has(c, "iphone", "ipad", "ios"), "ios")
-        .when(_has(c, "windows"), "windows")
-        .when(_has(c, "mac os", "macintosh"), "macos")
-        .when(_has(c, "linux"), "linux")
-        .otherwise("other")
+        F.when(c.contains("android"), "android")
+        .when(_has(c, "iphone", "ipad", "ipod"), "ios")
+        .when(c.contains("cros"), "chromeos")
+        .when(c.contains("windows phone"), _null())
+        .when(c.contains("windows"), "windows")
+        .when(_has(c, "mac os x", "macintosh"), "osx")
+        .when(c.contains("linux"), "linux")
+        .otherwise(_null())
     )
 
 
 def ua_browser(ua: Column | str) -> Column:
+    """ua/BrowserField.scala browsers map: safari|chrome|other|edge|
+    firefox|opera|ie. In-app browsers (Instagram/Facebook/Samsung
+    Internet) map to 'other' like the reference; unknown → null."""
     c = F.lower(F.col(ua) if isinstance(ua, str) else ua)
     return (
-        F.when(_has(c, "edg/", "edge"), "edge")
+        F.when(_has(c, "edg/", "edga/", "edgios/", "edge"), "edge")
         .when(_has(c, "opr/", "opera"), "opera")
-        .when(_has(c, "firefox"), "firefox")
-        .when(_has(c, "chrome"), "chrome")
-        .when(_has(c, "safari"), "safari")
-        .otherwise("other")
+        .when(_has(c, "samsungbrowser", "instagram", "fbav", "fban"), "other")
+        .when(_has(c, "msie", "trident"), "ie")
+        .when(_has(c, "firefox", "fxios"), "firefox")
+        .when(_has(c, "chrome", "crios", "chromium"), "chrome")
+        .when(c.contains("safari"), "safari")
+        .otherwise(_null())
     )
 
 
+_KNOWN_BOTS = ("apache-httpclient", "googlebot", "adsbot-google", "ahrefsbot",
+               "bingpreview", "slurp")
+
+
 def ua_is_bot(ua: Column | str) -> Column:
+    """ua/BotField.scala: family ends with bot/crawler/spider, or a known
+    bot name (knownBots + the Crawler-Detect list the reference bundles —
+    here the head of that public list as substrings)."""
     c = F.lower(F.col(ua) if isinstance(ua, str) else ua)
-    return _has(c, "bot", "crawler", "spider", "slurp")
+    return _has(c, "bot", "crawler", "spider", *_KNOWN_BOTS)
 
 
 SEARCH_HOSTS = ("google.", "bing.", "duckduckgo.", "yandex.", "baidu.")

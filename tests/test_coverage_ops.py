@@ -126,3 +126,38 @@ def test_autofeature_suggests(spark):
     assert {"interaction_count", "window_count", "number", "item_age"} <= types
     names = [s["name"] for s in specs]
     assert len(names) == len(set(names))
+
+
+def test_ua_reference_taxonomy(spark):
+    """Pins the uap-derived decision rules (ua/PlatformField.scala:44-64,
+    OSField OSNames, BrowserField browsers map): Android-without-'Mobile'
+    is a TABLET, Mac OS is 'osx', ChromeOS and IE are distinct values,
+    unknown families read as null."""
+    from metarank_spark.functions.ua import ua_browser, ua_os, ua_platform
+
+    cases = [
+        # (ua, platform, os, browser)
+        ("Mozilla/5.0 (Linux; Android 12; SM-T870) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/100.0 Safari/537.36",
+         "tablet", "android", "chrome"),
+        ("Mozilla/5.0 (Linux; Android 12; Pixel 6) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/100.0 Mobile Safari/537.36",
+         "mobile", "android", "chrome"),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+         "(KHTML, like Gecko) Version/16.1 Safari/605.1.15",
+         "desktop", "osx", "safari"),
+        ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/110.0 Safari/537.36",
+         "desktop", "chromeos", "chrome"),
+        ("Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko",
+         "desktop", "windows", "ie"),
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) "
+         "Chrome/100.0 Safari/537.36 Edg/100.0",
+         "desktop", "windows", "edge"),
+        ("SomeUnknownClient/1.0", None, None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["ua"]).select(
+        ua_platform("ua").alias("p"), ua_os("ua").alias("o"), ua_browser("ua").alias("b")
+    )
+    got = [(r["p"], r["o"], r["b"]) for r in df.collect()]
+    assert got == [(p, o, b) for _, p, o, b in cases]
