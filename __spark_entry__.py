@@ -521,6 +521,34 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EMB_DEDUP_THRESHOLD = 0.15
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share the 8-plane
+    LSH signature (never all-pairs — the standard web-scale shape), exact
+    cosine verified only within buckets. Same candidate-generation
+    skeleton as MinHash dedup, over the embeddings table."""
+    emb = load_embeddings(spark, sf)
+    dim = 64
+    sig = emb.select(
+        "vec_id", "embedding", sim.lsh_signature(F.col("embedding"), dim).alias("sig")
+    )
+    left = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "sig"
+    )
+    right = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "sig"
+    )
+    pairs = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(sim.cosine_expr(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
     """vector extractor reducers min/max/avg/size
     (NumVectorFeature.scala:28,192)."""
@@ -739,6 +767,13 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT vec_id, score, rank FROM
           (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank FROM cand)
         WHERE rank <= 3""",
+    "dedup_embedding": f"""
+        WITH sig AS (SELECT vec_id, embedding,
+                       ({_lsh_sig_sql('embedding')}) AS sig FROM embeddings),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+                  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_DEDUP_THRESHOLD}""",
     "ann_ivf": f"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
                        FROM embeddings WHERE vec_id IN {IVF_CENTROID_IDS}),
@@ -798,6 +833,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "dedup_embedding": q_dedup_embedding,
     "dedup_simhash": q_dedup_simhash,
     "token_stats": q_token_stats,
     "vector_reduce": q_vector_reduce,

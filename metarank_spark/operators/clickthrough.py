@@ -22,9 +22,11 @@ Reference semantics:
   per interaction put), so a later same-session ranking inside that
   window sees the impressions here but not upstream. Pinned by
   tests/test_clickthrough.py::test_impression_visibility_commit_at_completion;
-  a faithful commit-at-expiry needs a commit-ts/value-ts split in the
-  merged scan's ordering (late writes land in old buckets), not just a
-  different seq.
+  a faithful BATCH commit-at-expiry needs a commit-ts/value-ts split in
+  the merged scan's ordering (late writes land in old buckets), not just
+  a different seq. The STREAMING twin implements true commit-at-expiry
+  (streaming/pipeline.streaming_clickthrough_expiry: event-time timeout
+  at last_write + maxSessionLength).
 
 Plan shape: one equi-join interactions→rankings on ranking_id (broadcastable
 when rankings-per-partition are small; AQE picks the strategy), one groupBy

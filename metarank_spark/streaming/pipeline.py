@@ -520,3 +520,107 @@ def streaming_map_feature(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CT_OUT = T.StructType(
+    [
+        T.StructField("ranking_id", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),       # the RANKING's ts (payload)
+        T.StructField("commit_ms", T.LongType()),   # expiry event-time (commit order)
+        T.StructField("item_id", T.StringType()),
+        T.StructField("n_interactions", T.LongType()),
+    ]
+)
+CT_STATE = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("int_items", T.ArrayType(T.StringType())),
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+
+def _make_clickthrough_fn(max_session_ms: int):
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # session evicted: flush = ImpressionInject.process on the
+            # buffered clickthrough (only if it saw interactions —
+            # TrainBuffer.flushQueue filters interactions.nonEmpty)
+            ts, user, session, items, int_items, last_ts = state.get
+            state.remove()
+            if int_items and items:
+                positions = [
+                    items.index(i) + 1 for i in int_items if i in items
+                ]
+                if positions:
+                    max_pos = max(positions)
+                    yield pd.DataFrame({
+                        "ranking_id": key[0],
+                        "user_id": user,
+                        "session_id": session,
+                        "ts_ms": ts,
+                        "commit_ms": last_ts + max_session_ms,
+                        "item_id": items[:max_pos],
+                        "n_interactions": len(int_items),
+                    })
+            return
+        ts, user, session, items, int_items, last_ts = (
+            state.get if state.exists else (None, None, None, [], [], 0)
+        )
+        items, int_items = list(items or []), list(int_items or [])
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ms", "seq"])
+            for _, row in pdf.iterrows():
+                if row["event_type"] == "ranking":
+                    ts = int(row["ts_ms"])
+                    user, session = row["user_id"], row["session_id"]
+                    items = list(row["items"])
+                else:  # FK interaction: joins the buffered clickthrough
+                    int_items.append(str(row["item_id"]))
+                last_ts = max(last_ts, int(row["ts_ms"]))
+        state.update((ts, user, session, items, int_items, last_ts))
+        # expireAfterWrite semantics: the eviction clock resets on every
+        # put (TrainBuffer.scala:160-167) — event-time timeout at
+        # last-write + maxSessionLength
+        state.setTimeoutTimestamp(last_ts + max_session_ms)
+
+    return fn
+
+
+def streaming_clickthrough_expiry(
+    events: DataFrame, max_session_ms: int = 30 * 60 * 1000, watermark: str = "1 second"
+) -> DataFrame:
+    """TrainBuffer + ImpressionInject streaming twin with TRUE
+    commit-at-expiry semantics (flow/TrainBuffer.scala:33-167): rankings
+    buffer keyed by id, FK interactions join the buffer and reset its
+    event-time eviction clock (expireAfterWrite analog via
+    setTimeoutTimestamp), and the flush — injected impressions for items
+    up to the max interacted position, stamped with the RANKING's ts but
+    committed at expiry (`commit_ms`) — fires when the watermark passes
+    last_write + maxSessionLength.
+
+    This is the faithful counterpart of the batch path's documented
+    commit-at-completion deviation (operators/clickthrough.py): here a
+    later same-session ranking inside the expiry window does NOT see the
+    injected impressions, exactly like a live reference run."""
+    src = events.filter(
+        (F.col("event_type") == "ranking")
+        | ((F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull())
+    ).select(
+        F.coalesce(F.col("ranking_id"), F.col("event_id")).alias("__rk"),
+        "event_type", "ts_ms", "seq", "user_id", "session_id", "item_id",
+        F.transform(F.col("items"), lambda x: x["id"]).alias("items"),
+        F.timestamp_millis(F.col("ts_ms")).alias("__et"),
+    ).withWatermark("__et", watermark)
+    return src.groupBy("__rk").applyInPandasWithState(
+        _make_clickthrough_fn(max_session_ms),
+        outputStructType=CT_OUT,
+        stateStructType=CT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

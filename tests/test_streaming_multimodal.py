@@ -325,3 +325,41 @@ def test_streaming_map_feature_matches_batch_final_state(spark, tmp_path):
         u: ",".join(f"{k}={m[k]}" for k in sorted(m)) for u, m in exp.items()
     }
     assert final == exp_str
+
+
+def test_streaming_clickthrough_commit_at_expiry(spark, tmp_path):
+    """The streaming TrainBuffer twin implements TRUE commit-at-expiry
+    (TrainBuffer.scala:160-167 expireAfterWrite on the event ticker):
+    injected impressions carry the ranking's ts but commit at
+    last_interaction + maxSessionLength, and rankings without
+    interactions never flush — the faithful counterpart of the batch
+    path's documented commit-at-completion deviation."""
+    from metarank_spark.events import events_df, ranking_event
+    from metarank_spark.streaming.pipeline import streaming_clickthrough_expiry
+
+    gap = 30 * 60 * 1000
+    rows = [
+        ranking_event("r1", ["p1", "p2", "p3"], T0, 1, user="u1", session="s1"),
+        interaction_event("p2", "click", T0 + 60_000, 2, user="u1",
+                          session="s1", ranking="r1"),
+        interaction_event("p1", "click", T0 + 120_000, 3, user="u1",
+                          session="s1", ranking="r1"),
+        # a ranking with NO interactions: must never flush
+        ranking_event("r2", ["p4"], T0 + 10_000, 4, user="u2", session="s2"),
+        # sentinel far in the future: advances the watermark past expiry
+        ranking_event("r9", ["p9"], T0 + 10 * gap, 5, user="u9", session="s9"),
+    ]
+    ev = events_df(spark, rows)
+    src = str(tmp_path / "ev_ct")
+    ev.write.parquet(src)
+    out = _drive(spark, tmp_path, "ct",
+                 streaming_clickthrough_expiry(stream_events(spark, src),
+                                               max_session_ms=gap))
+    got = sorted((r["ranking_id"], r["item_id"], r["ts_ms"], r["commit_ms"],
+                  r["n_interactions"]) for r in out.collect())
+    # r1: max interacted position = 2 (p2) → inject p1, p2; ranking ts
+    # payload; commit at last interaction (T0+120s) + 30 min
+    assert got == [
+        ("r1", "p1", T0, T0 + 120_000 + gap, 2),
+        ("r1", "p2", T0, T0 + 120_000 + gap, 2),
+    ]
