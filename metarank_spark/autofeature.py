@@ -24,16 +24,28 @@ def profile_events(events: DataFrame) -> dict:
         for r in events.select(F.explode_outer(F.map_keys("num_fields")).alias("k"))
         .filter(F.col("k").isNotNull()).distinct().collect()
     ]
-    str_cards = {
-        r["k"]: r["card"]
+    str_stats = {
+        r["k"]: (r["card"], sorted(r["vals"]))
         for r in events.select(F.explode_outer("str_fields").alias("k", "v"))
         .filter(F.col("k").isNotNull())
         .select("k", F.explode("v").alias("val"))
-        .groupBy("k").agg(F.countDistinct("val").alias("card"))
+        .groupBy("k")
+        .agg(
+            F.countDistinct("val").alias("card"),
+            # observed value set, only materialized for low-card fields
+            # (collect_set bounded by the cardinality filter below)
+            F.when(
+                F.countDistinct("val") <= MAX_ONEHOT_CARD, F.collect_set("val")
+            ).otherwise(F.array().cast("array<string>")).alias("vals"),
+        )
         .collect()
     }
-    return {"interaction_types": sorted(itypes), "num_fields": sorted(num_fields),
-            "str_cards": str_cards}
+    return {
+        "interaction_types": sorted(itypes),
+        "num_fields": sorted(num_fields),
+        "str_cards": {k: c for k, (c, _) in str_stats.items()},
+        "str_values": {k: v for k, (_, v) in str_stats.items()},
+    }
 
 
 def suggest_features(events: DataFrame) -> list[dict]:
@@ -55,5 +67,24 @@ def suggest_features(events: DataFrame) -> list[dict]:
     for fld, card in sorted(p["str_cards"].items()):
         if card <= MAX_ONEHOT_CARD:
             out.append({"type": "string", "name": f"str_{fld}", "field": fld,
-                        "values": [], "encode": "index"})
+                        "values": p["str_values"].get(fld, []), "encode": "index"})
     return out
+
+
+def suggest_yaml(events: DataFrame) -> str:
+    """Render the proposals as a reference-style YAML config (the same
+    shape AutoFeature.scala emits), round-trippable through
+    config.load_config → FeatureEngine."""
+    import yaml
+
+    entries = []
+    for f in suggest_features(events):
+        e = dict(f)
+        t = e["type"]
+        if t in ("number", "string", "word_count"):
+            e["source"] = f"item.{e.pop('field')}"
+            e["scope"] = "item"
+        if t in ("rate", "window_count"):
+            e["bucket"] = "24h"
+        entries.append(e)
+    return yaml.safe_dump({"features": entries}, sort_keys=False)

@@ -56,13 +56,39 @@ def write_libsvm(df: DataFrame, feature_cols: list[str], path: str, **kw) -> Non
     out.repartition("ranking_id").select("value").write.mode("overwrite").text(path)
 
 
-def to_csv_matrix(df: DataFrame, feature_cols: list[str], label: str = "label") -> DataFrame:
-    """Wide CSV-ready frame: label + one column per feature slot."""
+def feature_width(features) -> int:
+    """Dense-vector width from the engine feature configs — the static
+    equivalent of ClickthroughQuery's dataset offsets, so exporters never
+    need a data probe."""
+    from metarank_spark.engine import Rate, StringEncode, Vector, WindowCount
+
+    width = 0
+    for cfg in features:
+        if isinstance(cfg, (WindowCount, Rate)):
+            width += len(cfg.periods)
+        elif isinstance(cfg, StringEncode):
+            width += len(cfg.values) if cfg.encode == "onehot" else 1
+        elif isinstance(cfg, Vector):
+            width += len(cfg.reducers)
+        else:
+            width += 1
+    return width
+
+
+def to_csv_matrix(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: str = "label",
+    width: int | None = None,
+) -> DataFrame:
+    """Wide CSV-ready frame: label + one column per feature slot. Pass
+    ``width`` (feature_width(engine.features)) to keep the plan fully
+    static; without it a one-row probe runs (tiny job, fixture use)."""
     vec = _feature_vector(df, feature_cols)
     out = df.select(F.col(label), vec.alias("__v"))
-    # fixed column count needs the vector width: probe one row (tiny job)
-    dim = out.select(F.size("__v").alias("d")).limit(1).collect()
-    width = dim[0]["d"] if dim else 0
+    if width is None:
+        dim = out.select(F.size("__v").alias("d")).limit(1).collect()
+        width = dim[0]["d"] if dim else 0
     cols = [F.get(F.col("__v"), i).alias(f"f{i}") for i in range(width)]
     return out.select(label, *cols)
 

@@ -112,3 +112,39 @@ def test_engine_runs_from_yaml(spark):
     assert row["popularity"] == 7.5
     assert row["genre"] == 2.0  # comedy → index 1 → 2 (0 = missing)
     assert row["global_item_click_count"] == 1.0
+
+
+def test_autofeature_yaml_roundtrip(spark):
+    """AutoFeature → YAML → load_config → FeatureEngine runs end-to-end
+    (the reference's AutoFeature emits a YAML config users feed back in)."""
+    from metarank_spark.autofeature import suggest_yaml
+    from metarank_spark.events import (
+        events_df,
+        interaction_event,
+        item_event,
+        ranking_event,
+    )
+
+    t0 = 1_700_000_000_000
+    rows = [
+        item_event("p1", t0, 1, str_fields={"color": ["red"]},
+                   num_fields={"price": 9.0}),
+        ranking_event("r1", ["p1"], t0 + 50, 2, user="u1", session="s1"),
+        interaction_event("p1", "impression", t0 + 100, 3, user="u1",
+                          session="s1", ranking="r1"),
+        interaction_event("p1", "click", t0 + 200, 4, user="u1",
+                          session="s1", ranking="r1"),
+        ranking_event("r2", ["p1"], t0 + 1000, 5, user="u1", session="s1"),
+    ]
+    ev = events_df(spark, rows)
+    text = suggest_yaml(ev)
+    cfg = load_config(text)
+    names = {f.name for f in cfg.features}
+    assert {"item_age", "click_count", "num_price", "str_color"} <= names
+    # observed values flow into the string encoder
+    enc = next(f for f in cfg.features if f.name == "str_color")
+    assert enc.values == ("red",)
+    out = FeatureEngine(cfg.features).ranking_values(ev)
+    rows_out = {(r["ranking_id"], r["position"]): r.asDict() for r in out.collect()}
+    assert rows_out[("r2", 0)]["click_count"] == 1.0
+    assert rows_out[("r2", 0)]["str_color"] == 1.0  # red → index 0 → 1

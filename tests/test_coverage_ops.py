@@ -161,3 +161,24 @@ def test_ua_reference_taxonomy(spark):
     )
     got = [(r["p"], r["o"], r["b"]) for r in df.collect()]
     assert got == [(p, o, b) for _, p, o, b in cases]
+
+
+def test_feature_width_static():
+    from metarank_spark.engine import (
+        InteractionCount,
+        Rate,
+        StringEncode,
+        Vector,
+        WindowCount,
+    )
+    from metarank_spark.operators.export import feature_width
+
+    feats = [
+        InteractionCount("c", "click"),               # 1
+        WindowCount("w", "click", (1, 7, 30)),        # 3
+        Rate("r", "click", "view", (7, 14)),          # 2
+        StringEncode("s", "f", ("a", "b", "c"), encode="onehot"),  # 3
+        StringEncode("i", "f", ("a", "b"), encode="index"),        # 1
+        Vector("v", "f", reducers=("min", "max")),    # 2
+    ]
+    assert feature_width(feats) == 12
