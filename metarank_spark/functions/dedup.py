@@ -103,13 +103,18 @@ def minhash_lsh_pairs(
     # and a single small parquet file would pin everything to one task
     from pyspark import StorageLevel
 
+    # repartition BEFORE the signature projection: with .select(...).
+    # repartition() the exchange sits ABOVE the project, so the expensive
+    # shingle+minhash HOFs would run at the scan's parallelism (one task
+    # for a fixture-sized single file). Spreading the raw rows first puts
+    # the compute on every core.
     sig_df = (
-        df.select(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("id"),
             shingles_expr(F.col(tokens)).alias("sh"),
             *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
         )
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         # persist: the signature table is referenced by the bucket-cap
         # window and both self-join sides; without a hard materialization
         # Catalyst re-inlines the expensive expression tree into each

@@ -46,8 +46,18 @@ def token_ids_expr(text: Column | str) -> Column:
 
 def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint table (doc_id, tokens:array<int32>, n_tok:int32,
-    source), derived deterministically from the documents table."""
+    source), derived deterministically from the documents table.
+
+    Small-scan fan-out: the tokenizer is per-row HOF compute, so if the
+    parquet scan plans fewer partitions than cores (fixture-sized single
+    files) the raw rows are spread BEFORE the projection — otherwise the
+    whole tokenize chain runs in one task. At warehouse scale the scan is
+    already wide (maxPartitionBytes) and this branch never fires, so no
+    extra shuffle is added where it would hurt."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = token_ids_expr("text")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),

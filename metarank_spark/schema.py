@@ -60,9 +60,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Downstream per-row HOF compute (tokenize/ngram/cosine) should run on
+    every core even when the fixture parquet is one small file; at
+    warehouse scale the scan is already wide and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return _fan_out_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return _fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
