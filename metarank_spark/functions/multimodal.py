@@ -101,3 +101,89 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Image resize plumbing: (media table) → (media_id, width, height,
+    resized bytes). The Spark side is real — Arrow-batched mapInPandas,
+    binary out, exact width*height-byte payload contract — while the pixel
+    work is the stubbed codec (fake = deterministic bytes derived from a
+    SHA-256 keystream over the input, sized w*h like a grayscale buffer)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = []
+            for mid, ct in zip(pdf["media_id"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "no image codec in this environment; install PIL "
+                        "and replace this branch"
+                    )
+                seed = hashlib.sha256((ct or b"") + mid.encode()).digest()
+                reps = n // len(seed) + 1
+                out.append((seed * reps)[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    return df.filter(df.media_type == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to one row
+    per sampled frame at ``every_ms`` stride over the clip duration
+    (``meta['duration_ms']``, default one frame). The row explosion,
+    timestamps, and binary-out schema are the real distributed shape;
+    frame decode is the stubbed codec (fake = per-frame SHA-256 bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, ct, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "no video codec in this environment; install "
+                        "decord/ffmpeg and replace this branch"
+                    )
+                dur = int((meta or {}).get("duration_ms", 0))
+                n = max(1, dur // every_ms)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(
+                        hashlib.sha256((ct or b"") + f"{mid}:{i}".encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.filter(df.media_type == "video").mapInPandas(run, schema=FRAMES_SCHEMA)

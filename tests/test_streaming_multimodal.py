@@ -363,3 +363,37 @@ def test_streaming_clickthrough_commit_at_expiry(spark, tmp_path):
         ("r1", "p1", T0, T0 + 120_000 + gap, 2),
         ("r1", "p2", T0, T0 + 120_000 + gap, 2),
     ]
+
+
+def test_multimodal_resize_plumbing(spark):
+    from metarank_spark.functions.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, width=8, height=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 4  # every 3rd synthetic row is an image
+    assert all(len(r["frame"] if "frame" in r else r["content"]) == 32 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+    # deterministic: same input → same bytes
+    again = {r["media_id"]: bytes(r["content"]) for r in out.collect()}
+    assert {r["media_id"]: bytes(r["content"]) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_plumbing(spark):
+    import pytest
+
+    from metarank_spark.functions.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=12).withColumn(
+        "meta", F.create_map(F.lit("duration_ms"), F.lit("3500"))
+    )
+    out = sample_frames(media, every_ms=1000, fake=True).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    # 3500ms at 1000ms stride → 3 frames per video row
+    assert all(sorted(v) == [(0, 0), (1, 1000), (2, 2000)] for v in per.values())
+    assert all(len(r["frame"]) == 32 for r in out)  # sha256 stub frame
+    # the real-codec branch is an explicit stub
+    with pytest.raises(Exception, match="video codec"):
+        sample_frames(media, fake=False).collect()
