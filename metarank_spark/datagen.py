@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metarank_spark.events import EVENT_SCHEMA
+from metarank_spark.events import EVENT_SCHEMA, RANK_ITEM
 
 T0 = 1_704_067_200_000  # 2024-01-01 UTC
 DAY_MS = 86_400_000
@@ -84,6 +84,10 @@ def synthetic_ranklens(
             lambda i: F.struct(
                 F.concat(F.lit("p"), F.pmod(_h("id", i), F.lit(items))).alias("id"),
                 F.lit(1.0).alias("relevancy"),
+                *[
+                    F.lit(None).cast(RANK_ITEM[f].dataType).alias(f)
+                    for f in ("label", "str_fields", "num_fields")
+                ],
             ),
         ),
     )

@@ -408,6 +408,14 @@ class FeatureEngine:
             "ranking_id", "ts_ms", "seq", "user_id", "session_id", "position",
             F.col("item.id").alias("item_id"),
             F.col("item.relevancy").alias("relevancy"),
+            # explicit judgment label (explicitLabelInteractions,
+            # TrainBuffer.scala:73-79) — consumed by training_matrix
+            F.col("item.label").alias("item_label"),
+            # ranking-time per-item field overrides: values() prefers these
+            # over stored state (NumberFeature.scala:84-94,
+            # StringFeature.scala:95-105)
+            F.col("item.str_fields").alias("__ov_str"),
+            F.col("item.num_fields").alias("__ov_num"),
         )
 
         # partition features: merged-scan path (one shuffle per scope) vs
@@ -426,6 +434,7 @@ class FeatureEngine:
             out = self._attach(out, rankings, events, cfg)
         for cfg in trivial:
             out = self._attach(out, rankings, events, cfg)
+        out = out.drop("__ov_str", "__ov_num")  # internal override carriers
         return out.drop("relevancy") if not any(
             isinstance(c, Relevancy) for c in self.features
         ) else out
@@ -714,21 +723,49 @@ class FeatureEngine:
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
                         F.floor((F.col("ts_ms") - c[n]) / 1000.0).cast("double"), nan)
                 elif isinstance(cfg, StringEncode):
+                    # ranking-time override: encode the rank item's own
+                    # field list when present (StringFeature.scala:95-105)
+                    ov_arr = F.col("__ov_str").getItem(cfg.field)
                     if cfg.encode == "index":
                         # index encode: head of the list (StringFeature.scala
                         # IndexCategoricalEncoder values.headOption)
                         mapping = F.array(*[F.lit(v) for v in cfg.values])
-                        fin = lambda c, n=f"{cfg.name}__v", m=mapping: F.coalesce(
-                            F.array_position(m, F.get(c[n], 0)), F.lit(0)).cast("double")
+                        fin = lambda c, n=f"{cfg.name}__v", m=mapping, ov=ov_arr: F.coalesce(
+                            F.array_position(
+                                m, F.get(F.when(ov.isNotNull(), ov).otherwise(c[n]), 0)
+                            ),
+                            F.lit(0),
+                        ).cast("double")
                     else:
                         # onehot: 1.0 at EVERY stored value, not just the
                         # head (util/OneHotEncoder.scala fromValues)
                         vals = cfg.values
-                        fin = lambda c, n=f"{cfg.name}__v", vs=vals: F.array(
+                        fin = lambda c, n=f"{cfg.name}__v", vs=vals, ov=ov_arr: F.array(
                             *[
-                                F.when(F.array_contains(c[n], v), 1.0).otherwise(0.0)
+                                F.when(
+                                    F.array_contains(
+                                        F.when(ov.isNotNull(), ov).otherwise(c[n]), v
+                                    ),
+                                    1.0,
+                                ).otherwise(0.0)
                                 for v in vs
                             ])
+                elif isinstance(cfg, Number):
+                    # ranking-time numeric override (NumberFeature.scala:84-94)
+                    ov = F.col("__ov_num").getItem(cfg.field)
+                    fin = lambda c, n=f"{cfg.name}__v", o=ov: F.coalesce(o, c[n], nan)
+                elif isinstance(cfg, Boolean):
+                    ovh = F.col("__ov_str").getItem(cfg.field).getItem(0)
+                    fin = lambda c, n=f"{cfg.name}__v", o=ovh: (
+                        F.when(o == "true", 1.0)
+                        .when(o == "false", 0.0)
+                        .otherwise(F.coalesce(c[n], nan))
+                    )
+                elif isinstance(cfg, WordCount):
+                    ovh = F.col("__ov_str").getItem(cfg.field).getItem(0)
+                    fin = lambda c, n=f"{cfg.name}__v", o=ovh: F.when(
+                        o.isNotNull(), F.size(F.split(o, r"\s+")).cast("double")
+                    ).otherwise(F.coalesce(c[n], nan))
                 else:
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(c[n], nan)
                 feats.append(MergedFeature(cfg.name, wc, fin))

@@ -17,10 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# RankItem (model/Event.scala:64-67): id + relevancy + optional explicit
+# label (explicitLabelInteractions, TrainBuffer.scala:73-79) + optional
+# per-item field overrides (NumberFeature.scala:84-94 /
+# StringFeature.scala:95-105 values() fieldOverride paths)
 RANK_ITEM = T.StructType(
     [
         T.StructField("id", T.StringType()),
         T.StructField("relevancy", T.DoubleType()),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("str_fields", T.MapType(T.StringType(), T.ArrayType(T.StringType()))),
+        T.StructField("num_fields", T.MapType(T.StringType(), T.DoubleType())),
     ]
 )
 
@@ -74,13 +81,27 @@ def user_event(user, ts_ms, seq, str_fields=None, num_fields=None, id=None):
     )
 
 
+def _rank_item(i) -> dict:
+    if isinstance(i, str):
+        i = {"id": i}
+    return dict(
+        id=i["id"],
+        relevancy=i.get("relevancy", 1.0),
+        label=i.get("label"),
+        str_fields=i.get("str_fields"),
+        num_fields=i.get("num_fields"),
+    )
+
+
 def ranking_event(id, items, ts_ms, seq, user=None, session=None, str_fields=None, num_fields=None):
-    """RankingEvent (Event.scala:44-51): the impression list / query."""
+    """RankingEvent (Event.scala:44-51): the impression list / query.
+    Items may be plain ids or dicts with relevancy / label (explicit
+    judgment) / str_fields / num_fields (ranking-time overrides)."""
     return dict(
         event_id=id, event_type="ranking", ts_ms=ts_ms, seq=seq,
         item_id=None, user_id=user, session_id=session, ranking_id=None,
         interaction_type=None,
-        items=[{"id": i, "relevancy": 1.0} if isinstance(i, str) else i for i in items],
+        items=[_rank_item(i) for i in items],
         str_fields=str_fields or {}, num_fields=num_fields or {},
         numlist_fields={},
     )

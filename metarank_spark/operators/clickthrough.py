@@ -140,4 +140,11 @@ def training_matrix(
         ).alias("label")
     )
     out = values.join(labels, ["ranking_id", "item_id"], "left")
-    return out.withColumn("label", F.coalesce(F.col("label"), F.lit(0.0)))
+    # explicit judgment labels on the ranking's items win over
+    # interaction-weight labels (ClickthroughQuery.scala:20-24: a
+    # TypedInteraction with Some(rel) — produced by
+    # explicitLabelInteractions — takes precedence)
+    return out.withColumn(
+        "label",
+        F.coalesce(F.col("item_label").cast("double"), F.col("label"), F.lit(0.0)),
+    )

@@ -131,14 +131,22 @@ def parse_wire_json(json_col: Column) -> list[Column]:
     get = lambda p: F.try_variant_get(v, p, "string")  # noqa: E731
     etype = get("$.event")
     etype = F.when(etype == "metadata", "item").otherwise(etype)
-    items = F.transform(
-        F.try_variant_get(v, "$.items", "array<variant>"),
-        lambda it: F.struct(
+    def _rank_item(it):
+        # RankItem: id, relevancy, optional explicit label, optional
+        # per-item field overrides (Event.scala relevancyDecoder :85-95)
+        str_f, num_f, _ = _field_maps(it, "$.fields")
+        return F.struct(
             F.try_variant_get(it, "$.id", "string").alias("id"),
             F.coalesce(
                 F.try_variant_get(it, "$.relevancy", "double"), F.lit(1.0)
             ).alias("relevancy"),
-        ),
+            F.try_variant_get(it, "$.label", "int").alias("label"),
+            str_f.alias("str_fields"),
+            num_f.alias("num_fields"),
+        )
+
+    items = F.transform(
+        F.try_variant_get(v, "$.items", "array<variant>"), _rank_item
     ).cast(EVENT_SCHEMA["items"].dataType)
     str_f, num_f, numlist_f = _field_maps(v, "$.fields")
     return [

@@ -288,3 +288,65 @@ def test_rate_normalized_integer_global_ratio(spark):
         [Rate("nctr", "click", "impression", (7,), normalize_weight=1.0)],
     )
     assert nan_eq(out[("r1", 0)]["nctr"], [3.0 / 7.0])
+
+
+def test_ranking_time_field_overrides(spark):
+    """values() prefers the rank item's own fields over stored state
+    (NumberFeature.scala:84-94; StringFeature.scala:95-105)."""
+    from metarank_spark.engine import WordCount
+
+    rows = [
+        item_event("p1", T0, 1, str_fields={"color": ["red"], "title": ["one two"]},
+                   num_fields={"price": 5.0}),
+        ranking_event(
+            "r1",
+            [
+                {"id": "p1", "num_fields": {"price": 99.0},
+                 "str_fields": {"color": ["blue", "green"], "title": ["a b c d"]}},
+                "p2",  # no state, no override → missing
+            ],
+            T0 + 1000, 2, user="u1", session="s1",
+        ),
+    ]
+    out = run(
+        spark, rows,
+        [
+            Number("price", "price"),
+            StringEncode("color", "color", ("red", "green", "blue"), encode="onehot"),
+            WordCount("twords", "title"),
+        ],
+    )
+    r0 = out[("r1", 0)]
+    assert r0["price"] == 99.0                      # override beats state 5.0
+    assert r0["color"] == [0.0, 1.0, 1.0]           # encode(override list)
+    assert r0["twords"] == 4.0                      # 'a b c d'
+    r1 = out[("r1", 1)]
+    assert math.isnan(r1["price"]) and r1["color"] == [0.0, 0.0, 0.0]
+
+
+def test_explicit_labels_win_over_interactions(spark):
+    """RankItem labels → rel interactions that outrank weight labels
+    (TrainBuffer.explicitLabelInteractions + ClickthroughQuery.scala:20-24)."""
+    from metarank_spark.engine import FeatureEngine, InteractionCount
+    from metarank_spark.operators.clickthrough import training_matrix
+
+    rows = [
+        ranking_event(
+            "r1",
+            [{"id": "p1", "label": 3}, {"id": "p2"}, {"id": "p3", "label": 0}],
+            T0, 1, user="u1", session="s1",
+        ),
+        click("p2", T0 + 100, 2),
+    ]
+    # attach the click to the ranking (FK)
+    rows[1]["ranking_id"] = "r1"
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    from metarank_spark.events import events_df
+
+    out = {
+        (r["ranking_id"], r["item_id"]): r["label"]
+        for r in training_matrix(events_df(spark, rows), eng).collect()
+    }
+    assert out[("r1", "p1")] == 3.0   # explicit judgment
+    assert out[("r1", "p2")] == 1.0   # click weight
+    assert out[("r1", "p3")] == 0.0   # explicit zero

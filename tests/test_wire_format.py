@@ -29,7 +29,11 @@ WIRE = [
     {"event": "user", "id": "e3", "timestamp": "2021-11-15T17:10:40.000Z",
      "user": "u1", "fields": []},
     {"event": "ranking", "id": "r1", "timestamp": "1636993841000", "user": "u1",
-     "session": "s1", "items": [{"id": "p1", "relevancy": 2.0}, {"id": "p2"}]},
+     "session": "s1", "items": [
+         {"id": "p1", "relevancy": 2.0, "label": 3,
+          "fields": [{"name": "color", "value": "blue"}]},
+         {"id": "p2"},
+     ]},
     {"event": "interaction", "id": "i1", "timestamp": "1636993842000",
      "ranking": "r1", "user": "u1", "session": "s1", "item": "p1",
      "type": "click"},
@@ -58,6 +62,9 @@ def test_wire_jsonl_decodes_all_event_types(spark, tmp_path):
     assert rows["e3"]["ts_ms"] == 1636996240000  # ISO zoned parse
     r1 = rows["r1"]
     assert [(i["id"], i["relevancy"]) for i in r1["items"]] == [("p1", 2.0), ("p2", 1.0)]
+    assert r1["items"][0]["label"] == 3                       # explicit judgment
+    assert r1["items"][0]["str_fields"]["color"] == ["blue"]  # per-item override
+    assert r1["items"][1]["label"] is None
     i1 = rows["i1"]
     assert (i1["ranking_id"], i1["interaction_type"]) == ("r1", "click")
     # file-order seq is a valid (ts, seq) total order tie-break
