@@ -115,8 +115,10 @@ class Boolean:
 
 @dataclass(frozen=True)
 class StringEncode:
-    """string (StringFeature.scala:52-138): index (0=missing, i+1) or
-    onehot encode of the last string field value (first list element)."""
+    """string (StringFeature.scala:52-138): index (0=missing, i+1 of the
+    list head) or onehot (1.0 at EVERY list value) encode of the last
+    string-list field. source='ranking' reads the ranking event's own
+    field as a per-ranking constant."""
     name: str
     field: str
     values: tuple[str, ...]
@@ -398,14 +400,21 @@ class FeatureEngine:
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
             "ts_ms", "seq", "user_id", "session_id", "items",
+            # the ranking event's own fields: ranking-sourced extractors
+            # read these as a per-ranking constant (FieldName(Ranking, f),
+            # e.g. StringFeature.scala:86-92)
+            F.col("str_fields").alias("__rk_str"),
+            F.col("num_fields").alias("__rk_num"),
         )
         if ranking_pred is not None:
             rankings = rankings.filter(ranking_pred)
         base = rankings.select(
             "ranking_id", "ts_ms", "seq", "user_id", "session_id",
+            "__rk_str", "__rk_num",
             F.posexplode("items").alias("position", "item"),
         ).select(
             "ranking_id", "ts_ms", "seq", "user_id", "session_id", "position",
+            "__rk_str", "__rk_num",
             F.col("item.id").alias("item_id"),
             F.col("item.relevancy").alias("relevancy"),
             # explicit judgment label (explicitLabelInteractions,
@@ -434,7 +443,7 @@ class FeatureEngine:
             out = self._attach(out, rankings, events, cfg)
         for cfg in trivial:
             out = self._attach(out, rankings, events, cfg)
-        out = out.drop("__ov_str", "__ov_num")  # internal override carriers
+        out = out.drop("__ov_str", "__ov_num", "__rk_str", "__rk_num")
         return out.drop("relevancy") if not any(
             isinstance(c, Relevancy) for c in self.features
         ) else out
@@ -480,7 +489,9 @@ class FeatureEngine:
         if isinstance(cfg, Rate):
             return None if cfg.normalize_weight is not None else cfg.scope
         if isinstance(cfg, (Number, Boolean, StringEncode, WordCount, Vector)):
-            return cfg.source
+            # ranking-sourced fields are per-ranking constants (no state):
+            # handled on the attach path, not the merged scan
+            return None if cfg.source == "ranking" else cfg.source
         if isinstance(cfg, ItemAge):
             return "item"
         if isinstance(cfg, (Stats, Freq, RecentItems)):
@@ -900,6 +911,21 @@ class FeatureEngine:
         )
 
     def _attach_scalar(self, base, rankings, events, cfg):
+        if getattr(cfg, "source", None) == "ranking":
+            # FieldName(Ranking, field): the ranking event's own field,
+            # constant across its items (NumberFeature values() Ranking
+            # branch; StringFeature.scala:86-92 analog for the others)
+            if isinstance(cfg, Number):
+                val = F.col("__rk_num").getItem(cfg.field)
+            elif isinstance(cfg, Boolean):
+                head = F.col("__rk_str").getItem(cfg.field).getItem(0)
+                val = F.when(head == "true", 1.0).when(head == "false", 0.0)
+            else:  # WordCount
+                head = F.col("__rk_str").getItem(cfg.field).getItem(0)
+                val = F.when(
+                    head.isNotNull(), F.size(F.split(head, r"\s+")).cast("double")
+                )
+            return base.withColumn(cfg.name, F.coalesce(val, F.lit(float("nan"))))
         if isinstance(cfg, Number):
             value = F.col("num_fields").getItem(cfg.field)
         elif isinstance(cfg, Boolean):
@@ -918,6 +944,19 @@ class FeatureEngine:
         ).drop(f"val_{cfg.name}")
 
     def _attach_string(self, base, rankings, events, cfg: StringEncode):
+        if cfg.source == "ranking":
+            raw = F.col("__rk_str").getItem(cfg.field)
+            if cfg.encode == "index":
+                mapping = F.array(*[F.lit(v) for v in cfg.values])
+                val = F.coalesce(
+                    F.array_position(mapping, F.get(raw, 0)), F.lit(0)
+                ).cast("double")
+            else:
+                val = F.array(*[
+                    F.when(F.array_contains(raw, v), 1.0).otherwise(0.0)
+                    for v in cfg.values
+                ])
+            return base.withColumn(cfg.name, val)
         # store the full SStringList (StringFeature.scala:60-66 puts the
         # whole list); encoders read head (index) or all values (onehot)
         value = F.col("str_fields").getItem(cfg.field)

@@ -350,3 +350,31 @@ def test_explicit_labels_win_over_interactions(spark):
     assert out[("r1", "p1")] == 3.0   # explicit judgment
     assert out[("r1", "p2")] == 1.0   # click weight
     assert out[("r1", "p3")] == 0.0   # explicit zero
+
+
+def test_ranking_sourced_fields(spark):
+    """source='ranking': the extractor reads the RANKING event's own
+    field as a per-ranking constant across items (FieldName(Ranking, f),
+    StringFeature.scala:86-92 / NumberFeature Ranking branch)."""
+    from metarank_spark.engine import WordCount
+
+    rows = [
+        ranking_event("r1", ["p1", "p2"], T0, 1, user="u1", session="s1",
+                      str_fields={"query": ["two words here"],
+                                  "channel": ["web"]},
+                      num_fields={"page": 2.0}),
+    ]
+    out = run(
+        spark, rows,
+        [
+            Number("page", "page", source="ranking"),
+            WordCount("qwords", "query", source="ranking"),
+            StringEncode("chan", "channel", ("web", "app"), encode="index",
+                         source="ranking"),
+        ],
+    )
+    for pos in (0, 1):  # constant across the ranking's items
+        r = out[("r1", pos)]
+        assert r["page"] == 2.0
+        assert r["qwords"] == 3.0
+        assert r["chan"] == 1.0  # web → index 0 → 1
