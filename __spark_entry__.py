@@ -250,14 +250,15 @@ def q_item_age(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_local_time(spark: SparkSession, sf: str) -> DataFrame:
     """local_time extractor (LocalDateTimeFeature.scala): hour-of-day and
-    day-of-week as pure epoch arithmetic (0=Monday), timezone-free."""
+    ISO day-of-week (getDayOfWeek, 1=Monday..7=Sunday) as pure epoch
+    arithmetic, timezone-free."""
     ev = _ev(spark, sf)
     return ev.select(
         "event_id",
         "user_id",
         "ts_ms",
         F.floor((F.col("ts_ms") % MS_DAY) / F.lit(3_600_000)).cast("long").alias("hour_utc"),
-        ((F.floor(F.col("ts_ms") / F.lit(MS_DAY)) + 3) % 7).cast("long").alias("dow"),
+        (((F.floor(F.col("ts_ms") / F.lit(MS_DAY)) + 3) % 7) + 1).cast("long").alias("dow"),
     )
 
 
@@ -1016,7 +1017,7 @@ _ORACLES: dict[str, str] = {
         {EV}
         SELECT {KEYS},
           floor((ts_ms % {MS_DAY}) / 3600000)::BIGINT AS hour_utc,
-          ((floor(ts_ms / {MS_DAY})::BIGINT + 3) % 7)::BIGINT AS dow
+          ((floor(ts_ms / {MS_DAY})::BIGINT + 3) % 7 + 1)::BIGINT AS dow
         FROM ev""",
     "split_hold_last": f"""
         {EV}

@@ -1002,18 +1002,29 @@ class FeatureEngine:
         return base.withColumn(cfg.name, r)
 
     def _attach_local_time(self, base, rankings, events, cfg: LocalTime):
+        """LocalDateTimeFeature mappers at UTC (LocalDateTimeFeature.scala
+        :36-40 + :58-95), value parity:
+
+        - time_of_day = secondOfDay / 3600 (HOURS, 0..24 — not a 0..1
+          day fraction)
+        - day_of_week = ISO getDayOfWeek (1=Monday .. 7=Sunday)
+        - second      = toEpochSecond (whole epoch seconds)
+        - month_of_year / year via tz-free DATE arithmetic (calendar
+          functions on TIMESTAMP would silently follow the session tz)
+
+        hour/minute are engine extensions beyond the reference's mappers.
+        """
         ms = F.col("ts_ms")
         day = F.floor(ms / F.lit(DAY_MS))
-        ts = F.timestamp_millis(ms)  # calendar parts: UTC session assumed
+        d = F.date_add(F.to_date(F.lit("1970-01-01")), day.cast("int"))
         parts = {
-            # fraction of the day in [0, 1) (LocalDateTimeFeature time_of_day)
-            "time_of_day": (ms % DAY_MS) / F.lit(float(DAY_MS)),
-            "day_of_week": ((day + 3) % 7).cast("double"),  # 0=Monday, tz-free
+            "time_of_day": (ms % DAY_MS) / F.lit(3_600_000.0),
+            "day_of_week": (((day + 3) % 7) + 1).cast("double"),  # ISO 1=Mon
             "hour": F.floor((ms % DAY_MS) / 3_600_000).cast("double"),
             "minute": F.floor((ms % 3_600_000) / 60_000).cast("double"),
-            "second": F.floor((ms % 60_000) / 1000).cast("double"),
-            "month_of_year": F.month(ts).cast("double"),
-            "year": F.year(ts).cast("double"),
+            "second": F.floor(ms / 1000).cast("double"),  # epoch seconds
+            "month_of_year": F.month(d).cast("double"),
+            "year": F.year(d).cast("double"),
         }
         return base.withColumn(cfg.name, parts[cfg.part])
 

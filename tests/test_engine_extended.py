@@ -34,9 +34,11 @@ def test_local_time_parts(spark):
         LocalTime("tod", "time_of_day"), LocalTime("month", "month_of_year"),
     ])
     r = out[("r1", 0)]
-    assert r["dow"] == 2.0  # Wednesday (0=Monday)
+    assert r["dow"] == 3.0  # Wednesday, ISO getDayOfWeek (1=Monday)
     assert r["hour"] == 5.0
-    assert abs(r["tod"] - (5.5 / 24)) < 1e-12
+    # time_of_day = secondOfDay/3600, i.e. hours 0..24
+    # (LocalDateTimeFeature.scala:64-69)
+    assert abs(r["tod"] - 5.5) < 1e-12
     assert r["month"] == 1.0
 
 
