@@ -523,30 +523,17 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EMB_DEDUP_THRESHOLD = 0.15
+EMB_DEDUP_MAX_BUCKET = 20
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share the 8-plane
-    LSH signature (never all-pairs — the standard web-scale shape), exact
-    cosine verified only within buckets. Same candidate-generation
-    skeleton as MinHash dedup, over the embeddings table."""
+    """Embedding-cosine near-duplicate pairs: banded 24-plane hyperplane
+    LSH (3 bands × 8 bits, multi-probe) with the minhash-style
+    mega-bucket cap before the self-join, exact cosine verified only
+    within buckets — never all-pairs, never quadratic in a bucket."""
     emb = load_embeddings(spark, sf)
-    dim = 64
-    sig = emb.select(
-        "vec_id", "embedding", sim.lsh_signature(F.col("embedding"), dim).alias("sig")
-    )
-    left = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "sig"
-    )
-    right = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "sig"
-    )
-    pairs = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(sim.cosine_expr(F.col("ea"), F.col("eb")), 6)
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
+    return sim.embedding_near_dup_pairs(
+        emb, dim=64, threshold=EMB_DEDUP_THRESHOLD, max_bucket=EMB_DEDUP_MAX_BUCKET
     )
 
 
@@ -695,6 +682,30 @@ def _lsh_sig_sql(col: str) -> str:
     return " + ".join(terms)
 
 
+def _lsh_band_keys_sql(
+    col: str,
+    planes: int = sim.EMB_PLANES,
+    band_bits: int = sim.EMB_BAND_BITS,
+) -> str:
+    """DuckDB mirror of similarity.lsh_band_keys: list of banded sign-bit
+    bucket keys '<band>_<bits>' over the same closed-form hyperplanes
+    (global plane index j = band*band_bits + r)."""
+    n_bands = planes // band_bits
+    keys = []
+    for bi in range(n_bands):
+        dot = (
+            f"list_sum(list_transform(range(1, len({col})+1), i -> {col}[i]::DOUBLE * "
+            f"(((({bi * band_bits}::BIGINT + r) * 2654435761 + (i-1)::BIGINT * 40503) "
+            f"% {sim.LSH_MOD})::DOUBLE / {sim.LSH_MOD} - 0.5)))"
+        )
+        val = (
+            f"CAST(coalesce(list_sum(list_transform(range(0, {band_bits}), r -> "
+            f"CASE WHEN {dot} > 0 THEN CAST(power(2, r) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)"
+        )
+        keys.append(f"concat('{bi}', '_', CAST({val} AS VARCHAR))")
+    return "[" + ", ".join(keys) + "]"
+
+
 _TEXT_ORACLES: dict[str, str] = {
     "tokenize": (
         f"{SEQ} SELECT doc_id, array_to_string(tokens, ' ') AS tokens_str, "
@@ -769,11 +780,16 @@ _TEXT_ORACLES: dict[str, str] = {
           (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank FROM cand)
         WHERE rank <= 3""",
     "dedup_embedding": f"""
-        WITH sig AS (SELECT vec_id, embedding,
-                       ({_lsh_sig_sql('embedding')}) AS sig FROM embeddings),
-        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-                  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        WITH sig AS (SELECT vec_id, embedding, {_lsh_band_keys_sql('embedding')} AS bands
+                     FROM embeddings),
+        b0 AS (SELECT vec_id, embedding, unnest(bands) AS band FROM sig),
+        b AS (SELECT vec_id, embedding, band FROM b0
+              QUALIFY count(*) OVER (PARTITION BY band) <= {EMB_DEDUP_MAX_BUCKET}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM b x JOIN b y USING (band) WHERE x.vec_id < y.vec_id),
+        pairs AS (SELECT id_a, id_b, {_cos_sql('e1.embedding', 'e2.embedding')} AS cosine
+                  FROM cand JOIN embeddings e1 ON e1.vec_id = id_a
+                            JOIN embeddings e2 ON e2.vec_id = id_b)
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_DEDUP_THRESHOLD}""",
     "ann_ivf": f"""
         WITH cents AS (SELECT vec_id AS cid, embedding AS cvec

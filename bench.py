@@ -53,14 +53,21 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     # warmup: small full pipeline to JIT/codegen before timing
     qs[names[0]](spark, sf_dir).limit(1).collect()
 
+    # best-of-N per query: a single timing under incidental machine load
+    # can fake a 1.5-2x regression (BENCH_r02 did exactly that); the min
+    # of repeated runs is the stable statistic for a deterministic plan
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     per_query: dict[str, float] = {}
     total_rows = 0
     t_all = time.perf_counter()
     for name in names:
         df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
         total_rows += df.count()  # not timed: row accounting for rows/sec
     total = time.perf_counter() - t_all
 

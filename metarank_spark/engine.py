@@ -824,7 +824,6 @@ class FeatureEngine:
                 left_seq="seq", right_seq="seq", values=values,
                 strict=True, suffix=suffix,
             ).drop("ts_ms", "seq", "item_id")
-            left_entity = series.sparkSession  # noqa: F841  (readability)
             return base.join(joined, ["ranking_id", "position"], "left")
         ent = {"user": "user_id", "session": "session_id", "global": None}[scope]
         if ent is None:

@@ -58,15 +58,22 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate marking: rows sharing ``key`` form a group; the
-    lowest id is the canonical survivor."""
-    w = Window.partitionBy("__k").orderBy(id_col)
-    cnt = Window.partitionBy("__k")
+    lowest id is the canonical survivor.
+
+    The shuffle/window key is ``xxhash64(key)``, not the raw key: for
+    full-document dedup the raw key is the document text, and shipping
+    megabyte strings as exchange keys dominates the shuffle at corpus
+    scale. Groups are identical up to a 2^-64 xxhash64 collision — the
+    same accepted odds as simhash-bucket dedup (and far below the
+    parquet/network undetected-corruption floor)."""
+    w = Window.partitionBy("__kh").orderBy(id_col)
+    cnt = Window.partitionBy("__kh")
     return (
-        df.withColumn("__k", key)
+        df.withColumn("__kh", F.xxhash64(key))
         .withColumn("dup_rank", F.row_number().over(w).cast("long"))
         .withColumn("group_size", F.count(F.lit(1)).over(cnt).cast("long"))
         .withColumn("is_dup", (F.col("dup_rank") > 1).cast("boolean"))
-        .drop("__k")
+        .drop("__kh")
     )
 
 

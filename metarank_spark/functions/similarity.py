@@ -19,7 +19,7 @@ summation trees over float32 inputs) rank identically; ties break on id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_PLANES = 8
@@ -110,3 +110,115 @@ def lsh_signature(vec: Column, dim: int) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# banded signature defaults for the near-dup PAIR path. 24 planes in 3
+# bands of 8 bits — multi-probe (a pair is a candidate if ANY band
+# matches) with per-band buckets small enough that the mega-bucket cap
+# below rarely fires at test scale. At corpus scale, band_bits must grow
+# with the table: pick band_bits ≈ log2(n_rows / target_bucket_size) so
+# the expected bucket stays O(10); the cap is the hard guarantee against
+# skew (many near-identical vectors), not a substitute for enough bits.
+EMB_PLANES = 24
+EMB_BAND_BITS = 8
+
+
+def lsh_band_keys(
+    vec: Column, dim: int, planes: int = EMB_PLANES, band_bits: int = EMB_BAND_BITS
+) -> Column:
+    """Array of banded sign-bit bucket keys ('<band>_<bits-value>').
+
+    Same deterministic hyperplane family as :func:`hyperplane_expr`
+    (global plane index j = band*band_bits + r), expressed as nested
+    higher-order functions so the Catalyst expression tree stays O(bands)
+    instead of O(planes*dim) unrolled literals."""
+    n_bands = planes // band_bits
+
+    def dot_plane(j: Column) -> Column:
+        # dot(vec, hyperplane(j)) with the plane generated in closed form
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.get(vec, i).cast("double")
+            * (
+                ((j.cast("long") * 2654435761 + i.cast("long") * 40503) % LSH_MOD)
+                / F.lit(float(LSH_MOD))
+                - 0.5
+            ),
+        )
+
+    def band_fold(bi: int):
+        # closure factory, NOT a `bi=bi` default: PySpark derives the HOF
+        # arity from the Python signature, so a bound default would turn
+        # this into a 3-arg lambda and fail analysis
+        def fold(acc: Column, r: Column) -> Column:
+            return acc + F.when(
+                dot_plane(F.lit(bi * band_bits) + r) > 0,
+                F.pow(F.lit(2.0), r).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return fold
+
+    keys = []
+    for bi in range(n_bands):
+        val = F.aggregate(
+            F.sequence(F.lit(0), F.lit(band_bits - 1)),
+            F.lit(0).cast("long"),
+            band_fold(bi),
+        )
+        keys.append(F.concat_ws("_", F.lit(bi), val.cast("string")))
+    return F.array(*keys)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.15,
+    planes: int = EMB_PLANES,
+    band_bits: int = EMB_BAND_BITS,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded hyperplane LSH + exact
+    cosine verify — the same candidate-generation skeleton as
+    dedup.minhash_lsh_pairs (signature → explode bands → drop
+    non-discriminative mega-buckets → bucket self-join → verify), so no
+    stage is ever quadratic in anything but the capped bucket size."""
+    from pyspark import StorageLevel
+
+    # repartition BEFORE the signature projection (small-scan fan-out) and
+    # persist: the banded signature is referenced by the cap window and
+    # both self-join sides — without a materialization barrier Catalyst's
+    # CollapseProject re-inlines the hyperplane fold into each reference.
+    sig_df = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec).alias("e"),
+            lsh_band_keys(F.col(vec), dim, planes, band_bits).alias("bands"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = sig_df.select("id", "e", F.explode("bands").alias("band"))
+    bucket_n = Window.partitionBy("band")
+    base = (
+        base.withColumn("__bn", F.count(F.lit(1)).over(bucket_n))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    left = base.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "band")
+    right = base.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "band")
+    cand = (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ea", "eb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -55,7 +55,6 @@ def run_merged(
 ) -> DataFrame:
     """queries: (entity, ts_ms, seq, *query_keys); writes: (entity, ts_ms,
     seq, *payload). Returns query rows + one column per feature."""
-    all_write_names = [n for f in features for n in f.write_cols]
     payload = [c for c in writes.columns if c not in (entity, "ts_ms", "seq")]
 
     q = queries.select(

@@ -102,3 +102,48 @@ def test_ngram_score_goldens(spark):
     assert got["full"] == 1.0   # {abc} vs {abc}
     assert got["half"] == 0.5   # {abc,bcd} vs {abc}
     assert got["none"] == 0.0
+
+
+def test_embedding_near_dup_pairs_bucket_cap(spark):
+    """Mega-buckets are dropped BEFORE the self-join: 100 identical
+    vectors share every band key, so with max_bucket=20 the candidate
+    set is empty (uncapped it would be 4950 pairs); with a cap above
+    the bucket size all pairs come back at cosine 1.0."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    capped = sim.embedding_near_dup_pairs(df, dim=4, threshold=0.5, max_bucket=20)
+    assert capped.count() == 0
+    uncapped = sim.embedding_near_dup_pairs(df, dim=4, threshold=0.5, max_bucket=1000)
+    out = uncapped.collect()
+    assert len(out) == 100 * 99 // 2
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
+
+
+def test_embedding_pair_join_input_is_bucket_capped(spark):
+    """Plan gate (VERDICT r02 #1): the pair self-join's input must carry
+    the band-partitioned count window + <= max_bucket filter, so no
+    bucket can ever go quadratic regardless of signature skew."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(10)],
+        "vec_id: long, embedding: array<float>",
+    )
+    plan = (
+        sim.embedding_near_dup_pairs(df, dim=4, threshold=0.1, max_bucket=20)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "windowspecdefinition(band" in plan, plan[:2000]
+    assert "<= 20" in plan, plan[:2000]
+
+
+def test_band_keys_match_unbanded_planes(spark):
+    """The banded keys use the SAME hyperplane family as lsh_signature:
+    band 0 of an 8-bit banded signature over 8 planes equals the flat
+    8-plane signature value."""
+    df = spark.createDataFrame(
+        [(1, [0.3, -1.2, 2.0, 0.7])], "vec_id: long, embedding: array<float>"
+    )
+    out = df.select(
+        sim.lsh_signature(F.col("embedding"), 4).alias("flat"),
+        sim.lsh_band_keys(F.col("embedding"), 4, planes=8, band_bits=8).alias("bands"),
+    ).collect()[0]
+    assert out["bands"][0] == f"0_{out['flat']}"
