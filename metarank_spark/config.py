@@ -99,21 +99,24 @@ def parse_feature(entry: dict):
     name = entry["name"]
     if tpe in UNSUPPORTED:
         raise NotImplementedError(f"feature type {tpe!r}: {UNSUPPORTED[tpe]}")
+    # per-feature state expiry (model/Feature.scala:41-55); None = no
+    # expiry here (the reference defaults to 90d in the live store)
+    ttl = parse_duration_ms(entry["ttl"]) if "ttl" in entry else None
     if tpe == "number":
         src, fld = _split_source(entry["source"])
-        return Number(name, fld, source=src)
+        return Number(name, fld, source=src, ttl_ms=ttl)
     if tpe == "boolean":
         src, fld = _split_source(entry["source"])
-        return Boolean(name, fld, source=src)
+        return Boolean(name, fld, source=src, ttl_ms=ttl)
     if tpe == "string":
         src, fld = _split_source(entry["source"])
         return StringEncode(
             name, fld, tuple(entry["values"]),
-            encode=entry.get("encode", "index"), source=src,
+            encode=entry.get("encode", "index"), source=src, ttl_ms=ttl,
         )
     if tpe == "word_count":
         src, fld = _split_source(entry["source"])
-        return WordCount(name, fld, source=src)
+        return WordCount(name, fld, source=src, ttl_ms=ttl)
     if tpe == "rate":
         norm = entry.get("normalize") or {}
         return Rate(
@@ -121,23 +124,27 @@ def parse_feature(entry: dict):
             bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
             scope=_scope(entry),
             normalize_weight=norm.get("weight"),
+            ttl_ms=ttl,
         )
     if tpe == "interaction_count":
-        return InteractionCount(name, entry["interaction"], scope=_scope(entry))
+        return InteractionCount(
+            name, entry["interaction"], scope=_scope(entry), ttl_ms=ttl
+        )
     if tpe == "window_count":
         return WindowCount(
             name, entry["interaction"], tuple(entry["periods"]),
             bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
             scope=_scope(entry),
+            ttl_ms=ttl,
         )
     if tpe == "item_age":
-        return ItemAge(name)
+        return ItemAge(name, ttl_ms=ttl)
     if tpe == "local_time":
         return LocalTime(name, part=entry.get("field", entry.get("part", "time_of_day")))
     if tpe == "relevancy":
         return Relevancy(name)
     if tpe == "position":
-        return Position(name)
+        return Position(name, position=entry.get("position", 0))
     if tpe == "random":
         return RandomFeature(name, seed=entry.get("seed"))
     if tpe == "interacted_with":
@@ -159,7 +166,7 @@ def parse_feature(entry: dict):
     if tpe == "vector":
         src, fld = _split_source(entry["source"])
         reducers = entry.get("reduce", ("min", "max", "size", "avg"))
-        return Vector(name, fld, reducers=tuple(reducers), source=src)
+        return Vector(name, fld, reducers=tuple(reducers), source=src, ttl_ms=ttl)
     raise ValueError(f"feature type {tpe!r} is not supported (FeatureSchema registry)")
 
 

@@ -69,12 +69,19 @@ def sample_accept_expr(rate: float, event_id: str = "event_id"):
 
 @dataclass(frozen=True)
 class WindowCount:
-    """window_count (WindowInteractionCountFeature.scala:22-66)."""
+    """window_count (WindowInteractionCountFeature.scala:22-66).
+
+    ``ttl_ms``: state expiry (model/Feature.scala:41-55, default 90d in
+    the reference; None = never expire here) — a carried value whose last
+    write is older than ttl at read time reads as missing, mirroring the
+    live store's key expiry. Same field on every stateful config below.
+    """
     name: str
     interaction: str
     periods: tuple[int, ...]
     bucket_ms: int = DAY_MS
     scope: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -83,6 +90,7 @@ class InteractionCount:
     name: str
     interaction: str
     scope: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -95,6 +103,7 @@ class Rate:
     bucket_ms: int = DAY_MS
     scope: str = "item"
     normalize_weight: float | None = None
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -103,6 +112,7 @@ class Number:
     name: str
     field: str
     source: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -111,6 +121,7 @@ class Boolean:
     name: str
     field: str
     source: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -124,6 +135,7 @@ class StringEncode:
     values: tuple[str, ...]
     encode: str = "index"  # index | onehot
     source: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -131,6 +143,7 @@ class ItemAge:
     """item_age (ItemAgeFeature.scala:41-84): (ranking.ts - last item
     update ts)/1000 seconds."""
     name: str
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -140,6 +153,7 @@ class WordCount:
     name: str
     field: str
     source: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -150,8 +164,12 @@ class Relevancy:
 
 @dataclass(frozen=True)
 class Position:
-    """position (PositionFeature.scala:30-35), training mode: item index."""
+    """position (PositionFeature.scala:30-35): item index at offline
+    training, the configured constant at online inference (the de-biasing
+    trick: train with the real position, score every candidate at the
+    same fixed slot)."""
     name: str
+    position: int = 0
 
 
 @dataclass(frozen=True)
@@ -180,6 +198,7 @@ class Vector:
     field: str
     reducers: tuple[str, ...] = ("min", "max", "size", "avg")
     source: str = "item"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -195,6 +214,7 @@ class Stats:
     percentiles: tuple[int, ...] = (50, 90)
     scope: str = "item"
     sample_rate: float = 1.0
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -207,6 +227,7 @@ class Freq:
     pool: int = 100
     scope: str = "item"
     sample_rate: float = 1.0
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -218,6 +239,7 @@ class RecentItems:
     count: int = 10
     duration_ms: int = DAY_MS
     scope: str = "session"
+    ttl_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -382,6 +404,7 @@ class FeatureEngine:
         events: DataFrame,
         ranking_pred: Column | None = None,
         series: dict[str, DataFrame] | None = None,
+        mode: str = "training",
     ) -> DataFrame:
         """One row per (ranking_id, position, item_id) with one column per
         feature — the offline-training feature matrix (ClickthroughValues
@@ -396,7 +419,14 @@ class FeatureEngine:
         write-side fold and run assembly only (two-phase backfill).
         Legacy-path features (interacted_with, normalized rate) always
         fold from events.
+
+        ``mode``: 'training' (OfflineTraining) or 'inference'
+        (OnlineInference) — only Position differs between the two
+        (BaseFeature.ValueMode; PositionFeature.scala:30-35).
         """
+        if mode not in ("training", "inference"):
+            raise ValueError(f"mode must be training|inference, got {mode!r}")
+        self._mode = mode
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
             "ts_ms", "seq", "user_id", "session_id", "items",
@@ -524,6 +554,42 @@ class FeatureEngine:
             return assemble_from_series(queries, series, "entity", feats, qkeys)
         return run_merged(queries, writes, "entity", feats, qkeys)
 
+    @staticmethod
+    def _ttl_wrap(cfg, wc: dict, fin, flags: dict[str, Column] | None = None,
+                  self_ts: bool = False):
+        """Thread per-feature TTL through the merged scan
+        (model/Feature.scala:41-55: every feature carries a ttl, default
+        90d, enforced by the live store's key expiry — state whose last
+        write is older than ttl reads as missing).
+
+        Each value column gets a sibling write-ts column masked by the
+        same write-row flag and carried by the same strictly-before rule;
+        the finish expr then nulls values stale at the QUERY row's ts
+        before the feature's own missing-value handling applies (NaN for
+        scalars/vectors, 0.0 for interaction_count — exactly what an
+        expired key reads in the reference). ``self_ts``: the value
+        column already IS the write ts (ItemAge)."""
+        ttl = getattr(cfg, "ttl_ms", None)
+        if not ttl:
+            return wc, fin
+        ts_map: dict[str, str] = {}
+        if self_ts:
+            ts_map = {n: n for n in list(wc)}
+        else:
+            for vn, flag in (flags or {}).items():
+                tsn = f"{vn}__wts"
+                wc[tsn] = masked(flag, F.col("ts_ms"))
+                ts_map[vn] = tsn
+
+        def wrapped(c, fin=fin, ts_map=ts_map, ttl=ttl):
+            fresh = {
+                vn: F.when((F.col("ts_ms") - c[tsn]) <= F.lit(ttl), c[vn])
+                for vn, tsn in ts_map.items()
+            }
+            return fin({**c, **fresh})
+
+        return wc, wrapped
+
     def _compile_scope_group(self, events, scope_key, cfgs):
         """Compile one scope group to (writes_df, MergedFeature list):
         write predicates, payload columns, write-side window exprs, and
@@ -556,11 +622,11 @@ class FeatureEngine:
                 run = entity_rows_window("entity")
                 wc = {f"{cfg.name}__v": masked(
                     F.col(fl) == 1, F.sum(fl).over(run).cast("long"))}
-                feats.append(MergedFeature(
-                    cfg.name, wc,
-                    lambda c, n=f"{cfg.name}__v": F.coalesce(
-                        c[n].cast("double"), F.lit(0.0)),
-                ))
+                fin = lambda c, n=f"{cfg.name}__v": F.coalesce(  # noqa: E731
+                    c[n].cast("double"), F.lit(0.0))
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(fl) == 1})
+                feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, WindowCount):
                 fl = itype_flag(cfg.interaction)
                 bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
@@ -573,12 +639,12 @@ class FeatureEngine:
                 ])
                 wc = {f"{cfg.name}__v": masked(F.col(fl) == 1, vec)}
                 dim = len(cfg.periods)
-                feats.append(MergedFeature(
-                    cfg.name, wc,
-                    lambda c, n=f"{cfg.name}__v", d=dim: F.when(
-                        c[n].isNull(), _nan_array(d)
-                    ).otherwise(F.transform(c[n], lambda x: x.cast("double"))),
-                ))
+                fin = lambda c, n=f"{cfg.name}__v", d=dim: F.when(  # noqa: E731
+                    c[n].isNull(), _nan_array(d)
+                ).otherwise(F.transform(c[n], lambda x: x.cast("double")))
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(fl) == 1})
+                feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, Rate):
                 ft, fb = itype_flag(cfg.top), itype_flag(cfg.bottom)
                 bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
@@ -595,14 +661,18 @@ class FeatureEngine:
                     f"{cfg.name}__b": masked(F.col(fb) == 1, wvec(fb)),
                 }
                 dim = len(cfg.periods)
-                feats.append(MergedFeature(
-                    cfg.name, wc,
-                    lambda c, tn=f"{cfg.name}__t", bn=f"{cfg.name}__b", d=dim: F.when(
-                        c[tn].isNull() | c[bn].isNull(), _nan_array(d)
-                    ).otherwise(
-                        F.zip_with(c[tn], c[bn], lambda x, y: x / y.cast("double"))
-                    ),
-                ))
+                fin = lambda c, tn=f"{cfg.name}__t", bn=f"{cfg.name}__b", d=dim: F.when(  # noqa: E731,E501
+                    c[tn].isNull() | c[bn].isNull(), _nan_array(d)
+                ).otherwise(
+                    F.zip_with(c[tn], c[bn], lambda x, y: x / y.cast("double"))
+                )
+                # top and bottom counters are separate store keys with
+                # separate expiries (RateFeature.scala topTarget/bottomTarget)
+                wc, fin = self._ttl_wrap(cfg, wc, fin, {
+                    f"{cfg.name}__t": F.col(ft) == 1,
+                    f"{cfg.name}__b": F.col(fb) == 1,
+                })
+                feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, (Stats, Freq, RecentItems)):
                 # pool windows run over the feature's OWN write stream
                 # (this group contains only this feature, see _merge_scope)
@@ -677,8 +747,10 @@ class FeatureEngine:
                     )
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
                         c[n], F.array().cast("array<string>"))
-                feats.append(MergedFeature(
-                    cfg.name, {f"{cfg.name}__v": F.col(pname)}, fin))
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
+                feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, Vector):
                 val = F.col("numlist_fields").getItem(cfg.field)
                 pname = f"__p_{cfg.name}"
@@ -704,8 +776,10 @@ class FeatureEngine:
                 dim = len(cfg.reducers)
                 fin = lambda c, n=f"{cfg.name}__v", d=dim, rv=reduce_vec: F.when(
                     c[n].isNull(), _nan_array(d)).otherwise(rv(c[n]))
-                feats.append(MergedFeature(
-                    cfg.name, {f"{cfg.name}__v": F.col(pname)}, fin))
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
+                feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, (Number, Boolean, StringEncode, WordCount, ItemAge)):
                 src = "item" if isinstance(cfg, ItemAge) else cfg.source
                 if isinstance(cfg, Number):
@@ -779,6 +853,14 @@ class FeatureEngine:
                     ).otherwise(F.coalesce(c[n], nan))
                 else:
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(c[n], nan)
+                # ItemAge's stored value IS the write ts (self_ts); the
+                # others mask on their own payload column
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin,
+                    flags=None if isinstance(cfg, ItemAge)
+                    else {f"{cfg.name}__v": F.col(pname).isNotNull()},
+                    self_ts=isinstance(cfg, ItemAge),
+                )
                 feats.append(MergedFeature(cfg.name, wc, fin))
             else:  # pragma: no cover
                 raise ValueError(f"not mergeable: {cfg}")
@@ -872,21 +954,45 @@ class FeatureEngine:
         bot_s = self._rename_series(
             self._periodic_series(events, cfg.bottom, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
         )
-        out = self._asof_to_base(base, rankings, top_s, cfg.scope, ["vec"], f"_{cfg.name}_t")
-        out = self._asof_to_base(out, rankings, bot_s, cfg.scope, ["vec"], f"_{cfg.name}_b")
+        vals = ["vec"]
+        if cfg.ttl_ms is not None:
+            # carry each counter's last-write ts so expired state (older
+            # than ttl at the ranking) reads missing, like the store's key
+            # expiry (model/Feature.scala:41-55)
+            top_s = top_s.withColumn("wts", F.col("ts_ms"))
+            bot_s = bot_s.withColumn("wts", F.col("ts_ms"))
+            vals = ["vec", "wts"]
+        out = self._asof_to_base(base, rankings, top_s, cfg.scope, vals, f"_{cfg.name}_t")
+        out = self._asof_to_base(out, rankings, bot_s, cfg.scope, vals, f"_{cfg.name}_b")
         t, b = F.col(f"vec_{cfg.name}_t"), F.col(f"vec_{cfg.name}_b")
+        drop_extra = []
+        if cfg.ttl_ms is not None:
+            t = F.when(F.col("ts_ms") - F.col(f"wts_{cfg.name}_t") <= cfg.ttl_ms, t)
+            b = F.when(F.col("ts_ms") - F.col(f"wts_{cfg.name}_b") <= cfg.ttl_ms, b)
+            drop_extra = [f"wts_{cfg.name}_t", f"wts_{cfg.name}_b"]
         if cfg.normalize_weight is None:
             # top/bottom elementwise (RateFeature.scala:313-330)
             val = F.when(
                 t.isNull() | b.isNull(), _nan_array(dim)
             ).otherwise(F.zip_with(t, b, lambda x, y: x / y.cast("double")))
-            return out.withColumn(cfg.name, val).drop(f"vec_{cfg.name}_t", f"vec_{cfg.name}_b")
+            return out.withColumn(cfg.name, val).drop(
+                f"vec_{cfg.name}_t", f"vec_{cfg.name}_b", *drop_extra
+            )
         # normalized: (w + top)/(w*(gBot/gTop) + bottom) (RateFeature.scala:331-355)
         gt_s = self._periodic_series(events, cfg.top, "global", cfg.periods, cfg.bucket_ms)
         gb_s = self._periodic_series(events, cfg.bottom, "global", cfg.periods, cfg.bucket_ms)
-        out = self._asof_to_base(out, rankings, gt_s, "global", ["vec"], f"_{cfg.name}_gt")
-        out = self._asof_to_base(out, rankings, gb_s, "global", ["vec"], f"_{cfg.name}_gb")
+        if cfg.ttl_ms is not None:
+            # the global counters are store keys with the same ttl
+            # (RateFeature.scala topGlobal/bottomGlobal take schema.ttl)
+            gt_s = gt_s.withColumn("wts", F.col("ts_ms"))
+            gb_s = gb_s.withColumn("wts", F.col("ts_ms"))
+        out = self._asof_to_base(out, rankings, gt_s, "global", vals, f"_{cfg.name}_gt")
+        out = self._asof_to_base(out, rankings, gb_s, "global", vals, f"_{cfg.name}_gb")
         gt, gb = F.col(f"vec_{cfg.name}_gt"), F.col(f"vec_{cfg.name}_gb")
+        if cfg.ttl_ms is not None:
+            gt = F.when(F.col("ts_ms") - F.col(f"wts_{cfg.name}_gt") <= cfg.ttl_ms, gt)
+            gb = F.when(F.col("ts_ms") - F.col(f"wts_{cfg.name}_gb") <= cfg.ttl_ms, gb)
+            drop_extra += [f"wts_{cfg.name}_gt", f"wts_{cfg.name}_gb"]
         w = F.lit(float(cfg.normalize_weight))
         idx = F.sequence(F.lit(0), F.lit(dim - 1))
         # the reference divides two Longs (RateFeature.scala:346-348:
@@ -906,7 +1012,8 @@ class FeatureEngine:
         )
         val = F.when(t.isNull() | b.isNull() | gt.isNull() | gb.isNull(), _nan_array(dim)).otherwise(formula)
         return out.withColumn(cfg.name, val).drop(
-            f"vec_{cfg.name}_t", f"vec_{cfg.name}_b", f"vec_{cfg.name}_gt", f"vec_{cfg.name}_gb"
+            f"vec_{cfg.name}_t", f"vec_{cfg.name}_b",
+            f"vec_{cfg.name}_gt", f"vec_{cfg.name}_gb", *drop_extra,
         )
 
     def _attach_scalar(self, base, rankings, events, cfg):
@@ -994,6 +1101,10 @@ class FeatureEngine:
         return base.withColumn(cfg.name, F.col("relevancy"))
 
     def _attach_position(self, base, rankings, events, cfg: Position):
+        # OnlineInference emits the configured constant for EVERY item;
+        # OfflineTraining the real item index (PositionFeature.values)
+        if getattr(self, "_mode", "training") == "inference":
+            return base.withColumn(cfg.name, F.lit(float(cfg.position)))
         return base.withColumn(cfg.name, F.col("position").cast("double"))
 
     def _attach_random(self, base, rankings, events, cfg: RandomFeature):
@@ -1075,10 +1186,35 @@ class FeatureEngine:
             F.col("str_fields").getItem(cfg.key_field).getItem(0).alias("mkey"),
             F.col("num_fields").getItem(cfg.value_field).alias("mval"),
         )
-        ent_read = {"user": "user_id", "session": "session_id", "item": "item_id"}[cfg.scope]
         keys_dim = writes.select("entity", "mkey").distinct()
+        if cfg.scope == "item":
+            # item scope reads per CANDIDATE item, so the key dimension
+            # joins the exploded per-item base, not the ranking row (the
+            # rankings frame has no item_id column)
+            left = base.select(
+                "ranking_id", "position", F.col("item_id").alias("entity"),
+                "ts_ms", "seq",
+            ).join(keys_dim, "entity")
+            joined = asof_join(
+                left, writes, on=["entity", "mkey"],
+                left_seq="seq", right_seq="seq", values=["mval"], strict=True,
+            )
+            per_item = (
+                joined.filter(F.col("mval_asof").isNotNull())
+                .groupBy("ranking_id", "position")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("mkey"), F.col("mval_asof")))
+                    ).alias(cfg.name)
+                )
+            )
+            return base.join(per_item, ["ranking_id", "position"], "left")
+        ent_read = {
+            "user": F.col("user_id"), "session": F.col("session_id"),
+            "global": F.lit(GLOBAL_ENTITY),
+        }[cfg.scope]
         left = rankings.select(
-            F.col(ent_read).alias("entity"), "ts_ms", "seq", "ranking_id"
+            ent_read.alias("entity"), "ts_ms", "seq", "ranking_id"
         ).join(keys_dim, "entity")
         joined = asof_join(
             left, writes, on=["entity", "mkey"],

@@ -37,7 +37,13 @@ def rerank(
     ranking_col: str = "ranking_id",
 ) -> DataFrame:
     """Per-ranking order by descending score (ties: original position),
-    emitting `new_position` (Ranker.scala:52-68 sort by -score)."""
+    emitting `new_position` (Ranker.scala:52-68 sort by -score).
+
+    For live-serving parity, build ``df`` with
+    ``engine.ranking_values(events, mode="inference")`` — the reference
+    scores rerank requests in ValueMode.OnlineInference, where a
+    configured `position` feature reads as its constant for every
+    candidate instead of the training-time item index."""
     scored = score_linear(df, feature_cols, weights)
     w = Window.partitionBy(ranking_col).orderBy(F.col("score").desc(), F.col("position"))
     return scored.withColumn("new_position", F.row_number().over(w) - 1)

@@ -59,7 +59,9 @@ def test_parse_reference_style_yaml():
     cfg = load_config(YAML)
     assert isinstance(cfg, LoadedConfig)
     by_name = {f.name: f for f in cfg.features}
-    assert by_name["popularity"] == Number("popularity", "popularity", source="item")
+    assert by_name["popularity"] == Number(
+        "popularity", "popularity", source="item", ttl_ms=60 * 86_400_000
+    )
     assert by_name["genre"] == StringEncode(
         "genre", "genres", ("drama", "comedy", "thriller"), encode="index", source="item"
     )
