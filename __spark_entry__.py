@@ -123,6 +123,60 @@ def q_rate_normalized(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(df, "nrate7")
 
 
+def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
+    """Field-scoped rate (ItemFieldScope, Scope.scala:43-47 /
+    RateFeature.scala:103-217): the counter entity is a FIELD VALUE, not
+    the id — here the user's segment (props.k of their last signup,
+    strictly before), so the rate pools across every user in the same
+    segment. Increments land in the segment the user was in AT the
+    interaction; each view reads its user's segment as-of the view;
+    unknown segment → missing. Plan: one window pass to derive the
+    segment (shuffle on user), one window pass for the counters (shuffle
+    on segment) — same two-exchange shape at any scale."""
+    ev = load_events(spark, sf, with_props=True)
+    k_sig = F.when(
+        F.col("event_type") == "signup", F.get_json_object("props", "$.k")
+    )
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = ev.select(
+        "event_id", "user_id", "ts_ms", "event_type",
+        F.last(k_sig, ignorenulls=True).over(w_user).alias("fscope"),
+    )
+    day = F.floor(F.col("ts_ms") / F.lit(MS_DAY))
+    is_c = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is_v = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    run_strict = (
+        Window.partitionBy("fscope")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    older = (
+        Window.partitionBy("fscope")
+        .orderBy(day)
+        .rangeBetween(Window.unboundedPreceding, -8)
+    )
+    top7 = (
+        F.coalesce(F.sum(is_c).over(run_strict), F.lit(0))
+        - F.coalesce(F.sum(is_c).over(older), F.lit(0))
+    )
+    bot7 = (
+        F.coalesce(F.sum(is_v).over(run_strict), F.lit(0))
+        - F.coalesce(F.sum(is_v).over(older), F.lit(0))
+    )
+    known = F.col("fscope").isNotNull()
+    out = d.select(
+        "event_id", "user_id", "ts_ms", "event_type", "fscope",
+        F.when(known, top7).cast("long").alias("top7_fs"),
+        F.when(known, bot7).cast("long").alias("bot7_fs"),
+        F.when(known, top7 / F.nullif(bot7.cast("double"), F.lit(0.0))).alias("rate7_fs"),
+    )
+    return out.filter(F.col("event_type") == "view").drop("event_type")
+
+
 def q_asof_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     """FLAGSHIP: strictly-before point-in-time snapshot at every 'view'
     (= ranking) event — zero temporal leakage. Mirrors the snapshot
@@ -950,6 +1004,36 @@ _ORACLES: dict[str, str] = {
                  ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)), 0)
           AS nrate7
         FROM d JOIN gw USING (day)""",
+    "rate_field_scoped": f"""
+        WITH ev AS (SELECT event_id::BIGINT AS event_id, epoch_ms(ts) AS ts_ms,
+                user_id::BIGINT AS user_id, event_type,
+                CASE WHEN event_type='signup'
+                     THEN json_extract_string(props, '$.k') END AS k_sig
+              FROM events),
+        k AS (SELECT event_id, user_id, ts_ms, event_type,
+                last_value(k_sig IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fscope
+              FROM ev),
+        d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
+                CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c,
+                CASE WHEN event_type='view' THEN 1 ELSE 0 END AS v FROM k),
+        s AS (SELECT *,
+                (coalesce(sum(c) OVER (PARTITION BY fscope ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 - coalesce(sum(c) OVER (PARTITION BY fscope ORDER BY day
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)) AS top7,
+                (coalesce(sum(v) OVER (PARTITION BY fscope ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 - coalesce(sum(v) OVER (PARTITION BY fscope ORDER BY day
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 8 PRECEDING), 0)) AS bot7
+              FROM d)
+        SELECT event_id, user_id, ts_ms, fscope,
+          (CASE WHEN fscope IS NOT NULL THEN top7 END)::BIGINT AS top7_fs,
+          (CASE WHEN fscope IS NOT NULL THEN bot7 END)::BIGINT AS bot7_fs,
+          CASE WHEN fscope IS NOT NULL
+               THEN top7::DOUBLE / nullif(bot7, 0) END AS rate7_fs
+        FROM s WHERE event_type='view'""",
     "asof_snapshot": f"""
         {EV}, d AS (SELECT *, floor(ts_ms/{MS_DAY})::BIGINT AS day,
                     CASE WHEN event_type='click' THEN 1 ELSE 0 END AS c,
@@ -1078,6 +1162,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_count_multi": q_window_count_multi,
     "rate": q_rate,
     "rate_normalized": q_rate_normalized,
+    "rate_field_scoped": q_rate_field_scoped,
     "asof_snapshot": q_asof_snapshot,
     "asof_join": q_asof_join,
     "bounded_list": q_bounded_list,

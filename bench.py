@@ -23,6 +23,7 @@ HEADLINE = [
     "asof_snapshot",
     "window_count_multi",
     "rate_normalized",
+    "rate_field_scoped",
     "sessionize",
     "interaction_count",
     "asof_join",

@@ -70,12 +70,19 @@ def _split_source(src: str) -> tuple[str, str]:
     return head, fld
 
 
-def _scope(entry: dict, default: str = "item") -> str:
+def _scope(entry: dict, default: str = "item", allow_field: bool = False) -> str:
+    """Plain scopes everywhere; 'item.<field>' / 'ranking.<field>'
+    (ScopeType.scala:38-44) where the feature supports them — rate in the
+    reference (RateFeature.scala), extended here to interaction_count and
+    window_count with the same entity derivation."""
     s = entry.get("scope", default)
     if "." in s:
-        raise NotImplementedError(
-            f"field scopes ({s!r}) are not supported; use item/user/session/global"
-        )
+        head = s.split(".", 1)[0]
+        if not allow_field or head not in ("item", "ranking"):
+            raise NotImplementedError(
+                f"field scope {s!r} is not supported for this feature type; "
+                "use item/user/session/global"
+            )
     return s
 
 
@@ -122,19 +129,20 @@ def parse_feature(entry: dict):
         return Rate(
             name, entry["top"], entry["bottom"], tuple(entry["periods"]),
             bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
-            scope=_scope(entry),
+            scope=_scope(entry, allow_field=True),
             normalize_weight=norm.get("weight"),
             ttl_ms=ttl,
         )
     if tpe == "interaction_count":
         return InteractionCount(
-            name, entry["interaction"], scope=_scope(entry), ttl_ms=ttl
+            name, entry["interaction"],
+            scope=_scope(entry, allow_field=True), ttl_ms=ttl,
         )
     if tpe == "window_count":
         return WindowCount(
             name, entry["interaction"], tuple(entry["periods"]),
             bucket_ms=parse_duration_ms(entry.get("bucket", "24h")),
-            scope=_scope(entry),
+            scope=_scope(entry, allow_field=True),
             ttl_ms=ttl,
         )
     if tpe == "item_age":

@@ -286,6 +286,23 @@ FeatureConfig = (
 # engine
 # --------------------------------------------------------------------------
 
+FIELD_SCOPE_SEP = ""
+
+
+def _parse_field_scope(scope: str) -> tuple[str, str] | None:
+    """'item.color' → ('item', 'color'), 'ranking.query' →
+    ('ranking', 'query') (ScopeType.scala:38-44 itemFieldFormat /
+    fieldItemFieldFormat); None for plain scopes."""
+    if "." not in scope:
+        return None
+    head, fld = scope.split(".", 1)
+    if head not in ("item", "ranking"):
+        raise ValueError(
+            f"field scope {scope!r} must be item.<field> or ranking.<field>"
+        )
+    return head, fld
+
+
 def _entity_col(scope: str) -> Column:
     """Scope → state-keying entity value (model/Scope.scala:24-65)."""
     if scope == "item":
@@ -312,13 +329,10 @@ class FeatureEngine:
 
     # ---------------- write-time series builders ----------------
 
-    def _counter_series(self, events: DataFrame, interaction: str, scope: str) -> DataFrame:
-        """CounterFeature write series: running count at each matching
-        interaction (MemCounter.scala:13-22)."""
-        w = events.filter(
-            (F.col("event_type") == "interaction")
-            & (F.col("interaction_type") == interaction)
-        ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+    @staticmethod
+    def _counter_fold(w: DataFrame) -> DataFrame:
+        """Running count per entity over a (entity, ts_ms, seq) write
+        frame (MemCounter.scala:13-22)."""
         run = (
             Window.partitionBy("entity")
             .orderBy(*ORDER)
@@ -326,17 +340,23 @@ class FeatureEngine:
         )
         return w.select("entity", "ts_ms", "seq", F.count(F.lit(1)).over(run).alias("cnt"))
 
-    def _periodic_series(
-        self, events: DataFrame, interaction: str, scope: str,
-        periods: tuple[int, ...], bucket_ms: int,
-    ) -> DataFrame:
-        """PeriodicCounter write series: at each write, the full per-period
-        vector anchored at the write's own bucket — which IS the last bucket
-        present in the state at that moment (model/Feature.scala:142-161)."""
+    def _counter_series(self, events: DataFrame, interaction: str, scope: str) -> DataFrame:
+        """CounterFeature write series: running count at each matching
+        interaction."""
         w = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
         ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+        return self._counter_fold(w)
+
+    @staticmethod
+    def _periodic_fold(
+        w: DataFrame, periods: tuple[int, ...], bucket_ms: int
+    ) -> DataFrame:
+        """Per-period bucket-window vector at each write of a (entity,
+        ts_ms, seq) frame, anchored at the write's own bucket — which IS
+        the last bucket present in the state at that moment
+        (model/Feature.scala:142-161)."""
         bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
         cols = [
             bucketed_window_count(F.lit(True), "entity", bucket, p, *ORDER).alias(f"_p{p}")
@@ -347,6 +367,105 @@ class FeatureEngine:
             "entity", "ts_ms", "seq",
             F.array(*[F.col(f"_p{p}") for p in periods]).alias("vec"),
         )
+
+    def _periodic_series(
+        self, events: DataFrame, interaction: str, scope: str,
+        periods: tuple[int, ...], bucket_ms: int,
+    ) -> DataFrame:
+        """PeriodicCounter write series over a plain entity scope."""
+        w = events.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == interaction)
+        ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+        return self._periodic_fold(w, periods, bucket_ms)
+
+    # ---------------- field-scoped state (Scope.scala:43-52) ----------------
+
+    def _field_value_series(self, events: DataFrame, field: str) -> DataFrame:
+        """The auxiliary `{name}_field` scalar: each item event carrying
+        ``field`` puts its head value at ItemScope (RateFeature.scala
+        writes(), ItemEvent branch — StringField or StringListField head).
+        One shared series per field; all fields live in str_fields here."""
+        head = F.col("str_fields").getItem(field).getItem(0)
+        return events.filter(
+            (F.col("event_type") == "item") & head.isNotNull()
+        ).select("item_id", "ts_ms", "seq", head.alias("fval"))
+
+    def _field_scoped_writes(
+        self, events: DataFrame, interaction: str, head: str, field: str
+    ) -> DataFrame:
+        """Interaction write stream keyed by the FIELD-derived entity.
+
+        item.<field>: entity = the item's current field value at the
+        interaction's processing time (an as-of hop against the item-field
+        series — RateFeature.scala:176-217 computeValue at write).
+        ranking.<field>: entity = (the interaction's ranking's field value,
+        item) — RateFeature.scala:138-175 via the RankingScope put; the
+        scope keeps the item id (Scope.scala:48-52 RankingFieldScope).
+        Interactions whose field value is unknown write nothing (reference
+        emits Nil)."""
+        ints = events.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == interaction)
+        ).select("item_id", "ranking_id", "ts_ms", "seq")
+        if head == "item":
+            fv = self._field_value_series(events, field)
+            j = asof_join(
+                ints, fv, on="item_id",
+                left_seq="seq", right_seq="seq", values=["fval"],
+                strict=True, suffix="_w",
+            )
+            ent = F.col("fval_w")
+        else:
+            rk = events.filter(F.col("event_type") == "ranking").select(
+                F.col("event_id").alias("ranking_id"),
+                F.col("str_fields").getItem(field).getItem(0).alias("fval"),
+            )
+            j = ints.join(rk, "ranking_id", "left")
+            ent = F.when(
+                F.col("fval").isNotNull(),
+                F.concat(F.col("fval"), F.lit(FIELD_SCOPE_SEP), F.col("item_id")),
+            )
+        return (
+            j.select(ent.alias("entity"), "ts_ms", "seq")
+            .filter(F.col("entity").isNotNull())
+        )
+
+    def _asof_field_series(
+        self, base: DataFrame, events: DataFrame, head: str, field: str,
+        series: DataFrame, values: list[str], suffix: str,
+    ) -> DataFrame:
+        """Read a field-scoped series at each (ranking, item) row: derive
+        the row's entity (item's field value as-of the ranking for
+        item.<field>, the CURRENT ranking's own field + item id for
+        ranking.<field> — RateFeature.scala value() targetScopeOption),
+        then strict as-of against the series. Rows whose entity is unknown
+        keep null values (missing state)."""
+        if head == "item":
+            fv = self._field_value_series(events, field)
+            left = asof_join(
+                base.select("ranking_id", "position", "item_id", "ts_ms", "seq"),
+                fv, on="item_id",
+                left_seq="seq", right_seq="seq", values=["fval"],
+                strict=True, suffix="_r",
+            ).withColumnRenamed("fval_r", "entity")
+        else:
+            fval = F.col("__rk_str").getItem(field).getItem(0)
+            ent = F.when(
+                fval.isNotNull(),
+                F.concat(fval, F.lit(FIELD_SCOPE_SEP), F.col("item_id")),
+            )
+            left = base.select(
+                "ranking_id", "position", "item_id", "ts_ms", "seq",
+                ent.alias("entity"),
+            )
+        joined = asof_join(
+            left, series, on="entity",
+            left_seq="seq", right_seq="seq", values=values,
+            strict=True, suffix=suffix,
+        )
+        keep = ["ranking_id", "position"] + [f"{v}{suffix}" for v in values]
+        return base.join(joined.select(*keep), ["ranking_id", "position"], "left")
 
     def _scalar_series(
         self, events: DataFrame, source: str, value: Column, extra_filter: Column | None = None,
@@ -515,9 +634,13 @@ class FeatureEngine:
         """Scope key of the single-pass merged scan, or None for features
         that need the join path."""
         if isinstance(cfg, (WindowCount, InteractionCount)):
-            return cfg.scope
+            # field scopes derive their entity through an as-of hop, so
+            # they run on the join path, not the merged scan
+            return None if "." in cfg.scope else cfg.scope
         if isinstance(cfg, Rate):
-            return None if cfg.normalize_weight is not None else cfg.scope
+            if cfg.normalize_weight is not None or "." in cfg.scope:
+                return None
+            return cfg.scope
         if isinstance(cfg, (Number, Boolean, StringEncode, WordCount, Vector)):
             # ranking-sourced fields are per-ranking constants (no state):
             # handled on the attach path, not the merged scan
@@ -926,34 +1049,79 @@ class FeatureEngine:
             return series.withColumnRenamed("entity", "item_id")
         return series
 
+    def _series_with_ttl(self, series: DataFrame, cfg, vals: list[str]):
+        """Attach-path ttl plumbing: carry the series row's own ts as the
+        last-write ts so reads can expire it (model/Feature.scala:41-55)."""
+        if getattr(cfg, "ttl_ms", None) is None:
+            return series, vals, []
+        return series.withColumn("wts", F.col("ts_ms")), vals + ["wts"], ["wts"]
+
+    def _ttl_guard(self, col: Column, cfg, suffix: str) -> Column:
+        if getattr(cfg, "ttl_ms", None) is None:
+            return col
+        return F.when(F.col("ts_ms") - F.col(f"wts{suffix}") <= cfg.ttl_ms, col)
+
     def _attach_window_count(self, base, rankings, events, cfg: WindowCount):
-        s = self._rename_series(
-            self._periodic_series(events, cfg.interaction, cfg.scope, cfg.periods, cfg.bucket_ms),
-            cfg.scope,
-        )
-        out = self._asof_to_base(base, rankings, s, cfg.scope, ["vec"], f"_{cfg.name}")
-        raw = F.col(f"vec_{cfg.name}")
+        fs = _parse_field_scope(cfg.scope)
+        if fs:
+            w = self._field_scoped_writes(events, cfg.interaction, *fs)
+            s = self._periodic_fold(w, cfg.periods, cfg.bucket_ms)
+            s, vals, wcols = self._series_with_ttl(s, cfg, ["vec"])
+            out = self._asof_field_series(base, events, *fs, s, vals, f"_{cfg.name}")
+        else:
+            s = self._rename_series(
+                self._periodic_series(events, cfg.interaction, cfg.scope, cfg.periods, cfg.bucket_ms),
+                cfg.scope,
+            )
+            s, vals, wcols = self._series_with_ttl(s, cfg, ["vec"])
+            out = self._asof_to_base(base, rankings, s, cfg.scope, vals, f"_{cfg.name}")
+        raw = self._ttl_guard(F.col(f"vec_{cfg.name}"), cfg, f"_{cfg.name}")
         val = F.when(raw.isNull(), _nan_array(len(cfg.periods))).otherwise(
             F.transform(raw, lambda x: x.cast("double"))
         )
-        return out.withColumn(cfg.name, val).drop(f"vec_{cfg.name}")
+        drops = [f"vec_{cfg.name}"] + [f"{c}_{cfg.name}" for c in wcols]
+        return out.withColumn(cfg.name, val).drop(*drops)
 
     def _attach_interaction_count(self, base, rankings, events, cfg: InteractionCount):
-        s = self._rename_series(self._counter_series(events, cfg.interaction, cfg.scope), cfg.scope)
-        out = self._asof_to_base(base, rankings, s, cfg.scope, ["cnt"], f"_{cfg.name}")
+        fs = _parse_field_scope(cfg.scope)
+        if fs:
+            w = self._field_scoped_writes(events, cfg.interaction, *fs)
+            s = self._counter_fold(w)
+            s, vals, wcols = self._series_with_ttl(s, cfg, ["cnt"])
+            out = self._asof_field_series(base, events, *fs, s, vals, f"_{cfg.name}")
+        else:
+            s = self._rename_series(self._counter_series(events, cfg.interaction, cfg.scope), cfg.scope)
+            s, vals, wcols = self._series_with_ttl(s, cfg, ["cnt"])
+            out = self._asof_to_base(base, rankings, s, cfg.scope, vals, f"_{cfg.name}")
+        cnt = self._ttl_guard(F.col(f"cnt_{cfg.name}"), cfg, f"_{cfg.name}")
+        drops = [f"cnt_{cfg.name}"] + [f"{c}_{cfg.name}" for c in wcols]
         # missing state reads as 0.0 (InteractionCountFeature.scala:55-58)
         return out.withColumn(
-            cfg.name, F.coalesce(F.col(f"cnt_{cfg.name}").cast("double"), F.lit(0.0))
-        ).drop(f"cnt_{cfg.name}")
+            cfg.name, F.coalesce(cnt.cast("double"), F.lit(0.0))
+        ).drop(*drops)
 
     def _attach_rate(self, base, rankings, events, cfg: Rate):
         dim = len(cfg.periods)
-        top_s = self._rename_series(
-            self._periodic_series(events, cfg.top, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
-        )
-        bot_s = self._rename_series(
-            self._periodic_series(events, cfg.bottom, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
-        )
+        fs = _parse_field_scope(cfg.scope)
+        if fs:
+            # ItemFieldScope / RankingFieldScope (Scope.scala:43-52):
+            # increments keyed by the field-derived entity at write time,
+            # reads keyed by the row's field-derived entity at the ranking
+            top_s = self._periodic_fold(
+                self._field_scoped_writes(events, cfg.top, *fs),
+                cfg.periods, cfg.bucket_ms,
+            )
+            bot_s = self._periodic_fold(
+                self._field_scoped_writes(events, cfg.bottom, *fs),
+                cfg.periods, cfg.bucket_ms,
+            )
+        else:
+            top_s = self._rename_series(
+                self._periodic_series(events, cfg.top, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
+            )
+            bot_s = self._rename_series(
+                self._periodic_series(events, cfg.bottom, cfg.scope, cfg.periods, cfg.bucket_ms), cfg.scope
+            )
         vals = ["vec"]
         if cfg.ttl_ms is not None:
             # carry each counter's last-write ts so expired state (older
@@ -962,8 +1130,12 @@ class FeatureEngine:
             top_s = top_s.withColumn("wts", F.col("ts_ms"))
             bot_s = bot_s.withColumn("wts", F.col("ts_ms"))
             vals = ["vec", "wts"]
-        out = self._asof_to_base(base, rankings, top_s, cfg.scope, vals, f"_{cfg.name}_t")
-        out = self._asof_to_base(out, rankings, bot_s, cfg.scope, vals, f"_{cfg.name}_b")
+        if fs:
+            out = self._asof_field_series(base, events, *fs, top_s, vals, f"_{cfg.name}_t")
+            out = self._asof_field_series(out, events, *fs, bot_s, vals, f"_{cfg.name}_b")
+        else:
+            out = self._asof_to_base(base, rankings, top_s, cfg.scope, vals, f"_{cfg.name}_t")
+            out = self._asof_to_base(out, rankings, bot_s, cfg.scope, vals, f"_{cfg.name}_b")
         t, b = F.col(f"vec_{cfg.name}_t"), F.col(f"vec_{cfg.name}_b")
         drop_extra = []
         if cfg.ttl_ms is not None:

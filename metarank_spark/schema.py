@@ -33,12 +33,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(
+    spark: SparkSession, sf_dir: str, with_props: bool = False
+) -> DataFrame:
     """Driver `events` table → canonical stream.
 
     event_id doubles as `seq`: the generator assigns ids in stream order,
     giving the explicit same-ts tie-break the reference gets from file
-    order.
+    order. ``with_props`` keeps the raw JSON props column (off by default
+    so the parquet scan prunes it).
     """
     ev = load_table(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ in the parquet: convert with pure NTZ arithmetic
@@ -57,6 +60,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_type"),
         F.col("value").cast("double").alias("value"),
+        *([F.col("props")] if with_props else []),
     )
 
 
