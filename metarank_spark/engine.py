@@ -48,6 +48,25 @@ ORDER = ("ts_ms", "seq")
 SAMPLE_MOD = 1_000_003
 
 
+def _with_vts(events: DataFrame) -> DataFrame:
+    """Commit-ts / value-ts split: ``(ts_ms, seq)`` is the COMMIT (stream
+    processing) order everywhere; ``vts_ms`` is the event's VALUE
+    timestamp — what PeriodicIncrement buckets and BoundedList entries
+    are stamped with (Write.timestamp in the reference). They differ only
+    for bounded-late writes such as expiry-committed injected impressions
+    (flow/TrainBuffer.scala:160-167: flushed at last_write +
+    maxSessionLength while stamped with the ranking's ts). For every
+    normal event vts == ts and all plans are unchanged.
+
+    Exactness contract for periodic counters: lateness must be bounded by
+    ``min(periods) * bucket_ms`` (a 30-min session against daily buckets
+    and periods >= 1 satisfies it by a wide margin) — see the anchor
+    carry in _periodic_vec."""
+    if "vts_ms" in events.columns:
+        return events.withColumn("vts_ms", F.coalesce("vts_ms", "ts_ms"))
+    return events.withColumn("vts_ms", F.col("ts_ms"))
+
+
 def sample_accept_expr(rate: float, event_id: str = "event_id"):
     """Deterministic analog of Feature.scala:249 shouldSample
     (Random.nextDouble() <= rate): accept a write iff
@@ -350,33 +369,68 @@ class FeatureEngine:
         return self._counter_fold(w)
 
     @staticmethod
+    def _anchored_period_counts(
+        is_write: Column, one: Column, bucket: Column,
+        periods: tuple[int, ...], entity: str,
+    ) -> Column:
+        """Exact PeriodicCounter write-row vector under bounded-late
+        writes (commit/value-ts split): element p at write i =
+        #{writes j ≤ i in COMMIT order : bucket_j ∈ [A_i - p, A_i]} with
+        A_i = max value-bucket committed so far — the reference's
+        anchor-at-last-STATE-bucket read (model/Feature.scala:139-161
+        fromMap: map.ts.last).
+
+        Derivation: std_i = running_count - count(bucket ≤ own_bucket -
+        p - 1) is exact exactly when own bucket == A_i. For a late write
+        (own bucket < A_i), every write committed after the last at-max
+        write m is itself within [A_i - p, A_i] (lateness ≤ p buckets),
+        so the exact value is std_m + (writes since m): carry
+        (std - running_count) from the last at-max write and add the
+        current running count. On a monotone stream every write is
+        at-max and this reduces bit-for-bit to std_i. Exactness needs
+        lateness ≤ min(periods) * bucket_ms (the _with_vts contract)."""
+        run = entity_rows_window(entity)
+        a = F.max(F.when(is_write, bucket)).over(run)
+        cnt = F.coalesce(F.sum(one).over(run), F.lit(0))
+        elems = []
+        for p in periods:
+            older = F.coalesce(
+                F.sum(one).over(bucket_range_window(entity, bucket, p)), F.lit(0)
+            )
+            std = cnt - older
+            base = F.when(is_write & (bucket == a), std - cnt)
+            carried = F.last(base, ignorenulls=True).over(run)
+            elems.append(carried + cnt)
+        return F.array(*elems)
+
     def _periodic_fold(
-        w: DataFrame, periods: tuple[int, ...], bucket_ms: int
+        self, w: DataFrame, periods: tuple[int, ...], bucket_ms: int
     ) -> DataFrame:
         """Per-period bucket-window vector at each write of a (entity,
-        ts_ms, seq) frame, anchored at the write's own bucket — which IS
-        the last bucket present in the state at that moment
-        (model/Feature.scala:142-161)."""
-        bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
-        cols = [
-            bucketed_window_count(F.lit(True), "entity", bucket, p, *ORDER).alias(f"_p{p}")
-            for p in periods
-        ]
-        w = w.select("entity", "ts_ms", "seq", *cols)
-        return w.select(
-            "entity", "ts_ms", "seq",
-            F.array(*[F.col(f"_p{p}") for p in periods]).alias("vec"),
+        ts_ms, seq[, vts_ms]) frame — buckets use the VALUE ts, order is
+        the commit order."""
+        vts = F.col("vts_ms") if "vts_ms" in w.columns else F.col("ts_ms")
+        bucket = F.floor(F.coalesce(vts, F.col("ts_ms")) / F.lit(bucket_ms))
+        vec = self._anchored_period_counts(
+            F.lit(True), F.lit(1), bucket, periods, "entity"
         )
+        # the shared window helpers order by (ts_ms, seq, __side); on a
+        # writes-only frame the side marker is a constant
+        from metarank_spark.operators.merge import SIDE_WRITE
+
+        w = w.withColumn("__side", F.lit(SIDE_WRITE))
+        return w.select("entity", "ts_ms", "seq", vec.alias("vec"))
 
     def _periodic_series(
         self, events: DataFrame, interaction: str, scope: str,
         periods: tuple[int, ...], bucket_ms: int,
     ) -> DataFrame:
         """PeriodicCounter write series over a plain entity scope."""
+        cols = ["ts_ms", "seq"] + (["vts_ms"] if "vts_ms" in events.columns else [])
         w = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
-        ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
+        ).select(_entity_col(scope).alias("entity"), *cols)
         return self._periodic_fold(w, periods, bucket_ms)
 
     # ---------------- field-scoped state (Scope.scala:43-52) ----------------
@@ -404,10 +458,11 @@ class FeatureEngine:
         scope keeps the item id (Scope.scala:48-52 RankingFieldScope).
         Interactions whose field value is unknown write nothing (reference
         emits Nil)."""
+        vcols = ["vts_ms"] if "vts_ms" in events.columns else []
         ints = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
-        ).select("item_id", "ranking_id", "ts_ms", "seq")
+        ).select("item_id", "ranking_id", "ts_ms", "seq", *vcols)
         if head == "item":
             fv = self._field_value_series(events, field)
             j = asof_join(
@@ -427,7 +482,7 @@ class FeatureEngine:
                 F.concat(F.col("fval"), F.lit(FIELD_SCOPE_SEP), F.col("item_id")),
             )
         return (
-            j.select(ent.alias("entity"), "ts_ms", "seq")
+            j.select(ent.alias("entity"), "ts_ms", "seq", *vcols)
             .filter(F.col("entity").isNotNull())
         )
 
@@ -484,18 +539,20 @@ class FeatureEngine:
         """BoundedList write series: at each matching interaction, the
         current list of visited item ids, newest first, time-filtered and
         truncated at write time (MemBoundedList.scala:18-37)."""
+        vcols = ["vts_ms"] if "vts_ms" in events.columns else []
         w = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == cfg.interaction)
-        ).select(_entity_col(cfg.scope).alias("entity"), "ts_ms", "seq", "item_id")
+        ).select(_entity_col(cfg.scope).alias("entity"), "ts_ms", "seq", "item_id", *vcols)
         frame = (
             Window.partitionBy("entity")
             .orderBy(*ORDER)
             .rowsBetween(-(cfg.count - 1), Window.currentRow)
         )
-        lst = F.collect_list(F.struct(F.col("ts_ms").alias("ts"), F.col("item_id").alias("v"))).over(frame)
+        vts = F.coalesce(F.col("vts_ms"), F.col("ts_ms")) if vcols else F.col("ts_ms")
+        lst = F.collect_list(F.struct(vts.alias("ts"), F.col("item_id").alias("v"))).over(frame)
         lst = F.reverse(lst)  # newest first
-        cutoff = F.col("ts_ms") - F.lit(cfg.duration_ms)
+        cutoff = vts - F.lit(cfg.duration_ms)
         kept = F.filter(lst, lambda x: x["ts"] >= cutoff)
         return w.select(
             "entity", "ts_ms", "seq",
@@ -546,6 +603,7 @@ class FeatureEngine:
         if mode not in ("training", "inference"):
             raise ValueError(f"mode must be training|inference, got {mode!r}")
         self._mode = mode
+        events = _with_vts(events)
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
             "ts_ms", "seq", "user_id", "session_id", "items",
@@ -620,6 +678,7 @@ class FeatureEngine:
         and reused by every entity range's assembly pass."""
         from metarank_spark.operators.merge import write_series as _ws
 
+        events = _with_vts(events)
         merged_groups, _, _ = self._partition_features()
         out = {}
         for scope_key, cfgs in merged_groups.items():
@@ -721,6 +780,10 @@ class FeatureEngine:
         ent_write = _entity_col(scope)
 
         preds, payloads, feats = [], {}, []
+        # the VALUE timestamp rides along as a payload so bucket exprs on
+        # the merged frame can use it (null on query rows → fall back to
+        # the row's own commit ts, which only affects frame ordering)
+        payloads["__vts"] = F.col("vts_ms")
         itypes: dict[str, str] = {}
 
         def itype_flag(itype: str) -> str:
@@ -752,14 +815,12 @@ class FeatureEngine:
                 feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, WindowCount):
                 fl = itype_flag(cfg.interaction)
-                bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
-                run = entity_rows_window("entity")
-                vec = F.array(*[
-                    (F.coalesce(F.sum(fl).over(run), F.lit(0))
-                     - F.coalesce(F.sum(fl).over(
-                         bucket_range_window("entity", bucket, p)), F.lit(0)))
-                    for p in cfg.periods
-                ])
+                bucket = F.floor(
+                    F.coalesce(F.col("__vts"), F.col("ts_ms")) / F.lit(cfg.bucket_ms)
+                )
+                vec = self._anchored_period_counts(
+                    F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
+                )
                 wc = {f"{cfg.name}__v": masked(F.col(fl) == 1, vec)}
                 dim = len(cfg.periods)
                 fin = lambda c, n=f"{cfg.name}__v", d=dim: F.when(  # noqa: E731
@@ -770,15 +831,15 @@ class FeatureEngine:
                 feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, Rate):
                 ft, fb = itype_flag(cfg.top), itype_flag(cfg.bottom)
-                bucket = F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms))
-                run = entity_rows_window("entity")
+                bucket = F.floor(
+                    F.coalesce(F.col("__vts"), F.col("ts_ms")) / F.lit(cfg.bucket_ms)
+                )
+
                 def wvec(fl):
-                    return F.array(*[
-                        (F.coalesce(F.sum(fl).over(run), F.lit(0))
-                         - F.coalesce(F.sum(fl).over(
-                             bucket_range_window("entity", bucket, p)), F.lit(0)))
-                        for p in cfg.periods
-                    ])
+                    # separate anchors: top/bottom are separate store keys
+                    return self._anchored_period_counts(
+                        F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
+                    )
                 wc = {
                     f"{cfg.name}__t": masked(F.col(ft) == 1, wvec(ft)),
                     f"{cfg.name}__b": masked(F.col(fb) == 1, wvec(fb)),
@@ -861,10 +922,13 @@ class FeatureEngine:
                         .orderBy("ts_ms", "seq")
                         .rowsBetween(-(cfg.count - 1), Window.currentRow)
                     )
+                    # stored/compared timestamps are the event's VALUE ts
+                    # (Write.timestamp); the append order is commit order
+                    vts = F.coalesce(F.col("vts_ms"), F.col("ts_ms"))
                     lst = F.reverse(F.collect_list(
-                        F.struct(F.col("ts_ms").alias("ts"), sample.alias("v"))
+                        F.struct(vts.alias("ts"), sample.alias("v"))
                     ).over(frame))
-                    cutoff = F.col("ts_ms") - F.lit(cfg.duration_ms)
+                    cutoff = vts - F.lit(cfg.duration_ms)
                     payloads[pname] = F.transform(
                         F.filter(lst, lambda x: x["ts"] >= cutoff), lambda x: x["v"]
                     )

@@ -11,22 +11,22 @@ Reference semantics:
   [0 .. max interacted position], carrying the RANKING's id, ts, user and
   session.
 - Ordering: the reference commits injected impressions when the session
-  buffer flushes (up to maxSessionLength after the ranking) while stamping
-  them with the ranking's ts — a deliberate bounded out-of-order write
-  (SURVEY.md §3.1 item 3). This batch engine orders them deterministically
-  right after the clickthrough's last real interaction (commit-at-
-  completion). Values (ts/id/items) match the reference exactly; only the
-  visibility *delay* within a still-open session is earlier — the
-  reference flushes at last_interaction.ts + maxSessionLength
-  (TrainBuffer.scala:160-167 expireAfterWrite on the event ticker, reset
-  per interaction put), so a later same-session ranking inside that
-  window sees the impressions here but not upstream. Pinned by
-  tests/test_clickthrough.py::test_impression_visibility_commit_at_completion;
-  a faithful BATCH commit-at-expiry needs a commit-ts/value-ts split in
-  the merged scan's ordering (late writes land in old buckets), not just
-  a different seq. The STREAMING twin implements true commit-at-expiry
-  (streaming/pipeline.streaming_clickthrough_expiry: event-time timeout
-  at last_write + maxSessionLength).
+  buffer flushes — expireAfterWrite(maxSessionLength) on an event-time
+  ticker reset by every put (TrainBuffer.scala:160-167), i.e. visibility
+  starts at last_interaction.ts + maxSessionLength — while stamping them
+  with the RANKING's ts: a deliberate bounded out-of-order write
+  (SURVEY.md §3.1 item 3). The default here is the faithful
+  commit-at-expiry: injected rows take their COMMIT position
+  (ts_ms = last_interaction + max_session_ms, the merged scan's ordering
+  key) and carry the ranking's ts as their VALUE timestamp (`vts_ms`,
+  consumed by engine._with_vts for bucket placement and list entries).
+  A later same-session ranking inside the expiry window therefore does
+  NOT see the impressions — exactly like a live reference run, and
+  exactly like the streaming twin
+  (streaming/pipeline.streaming_clickthrough_expiry).
+  ``commit_at_expiry=False`` keeps the earlier commit-at-completion
+  ordering (injected rows sort right after the clickthrough's last real
+  interaction) for pipelines that want read-your-session-writes.
 
 Plan shape: one equi-join interactions→rankings on ranking_id (broadcastable
 when rankings-per-partition are small; AQE picks the strategy), one groupBy
@@ -64,15 +64,31 @@ def clickthroughs(events: DataFrame) -> DataFrame:
     agg = ints.groupBy("ranking_id").agg(
         F.sort_array(F.collect_list("inter")).alias("interactions"),
         F.max(F.col("inter.seq")).alias("last_int_seq"),
+        F.max(F.col("inter.ts")).alias("last_int_ts"),
     )
     return rankings.join(agg, "ranking_id", "inner")
 
 
-def inject_impressions(events: DataFrame) -> DataFrame:
+MAX_SESSION_MS = 30 * 60 * 1000  # ClickthroughJoinConfig.maxSessionLength
+
+
+def inject_impressions(
+    events: DataFrame,
+    commit_at_expiry: bool = True,
+    max_session_ms: int = MAX_SESSION_MS,
+) -> DataFrame:
     """Append synthetic impression interactions per ImpressionInject
-    semantics and return the re-sequenced event stream (original seq -> 2n,
-    injected -> 2*last_interaction_seq+1 so they sort immediately after the
-    clickthrough completes)."""
+    semantics and return the re-sequenced event stream (original seq → 2n;
+    injected seq → 2*last_interaction_seq+1).
+
+    commit_at_expiry=True (default, reference-faithful): injected rows'
+    ORDER position is the buffer eviction time — ts_ms =
+    last_interaction.ts + max_session_ms — while their VALUE timestamp
+    (`vts_ms` column, null on real events) stays the ranking's ts, so
+    periodic counters bucket them into the ranking's bucket but no read
+    inside the still-open session sees them. False: they sort immediately
+    after the clickthrough's last real interaction (commit-at-completion).
+    """
     cts = clickthroughs(events)
     item_ids = F.transform(F.col("items"), lambda x: x["id"])
     # 1-based positions of interacted items present in the ranking
@@ -83,14 +99,22 @@ def inject_impressions(events: DataFrame) -> DataFrame:
         lambda p: p > 0,
     )
     max_pos = F.array_max(positions)  # null if no interacted item is in the list
+    if commit_at_expiry:
+        # commit position = eviction time; value ts = the ranking's ts
+        commit_ts = F.col("last_int_ts") + F.lit(max_session_ms)
+        vts = F.col("ts_ms")
+    else:
+        commit_ts = F.col("ts_ms")
+        vts = F.lit(None).cast("long")
     injected = (
         cts.withColumn("max_pos", max_pos)
         .filter(F.col("max_pos").isNotNull())
         .select(
             F.col("ranking_id").alias("event_id"),
             F.lit("interaction").alias("event_type"),
-            F.col("ts_ms"),
+            commit_ts.alias("ts_ms"),
             (F.col("last_int_seq") * 2 + 1).alias("seq"),
+            vts.alias("vts_ms"),
             F.explode(F.slice(item_ids, 1, F.col("max_pos"))).alias("item_id"),
             F.col("user_id"),
             F.col("session_id"),
@@ -102,7 +126,9 @@ def inject_impressions(events: DataFrame) -> DataFrame:
             F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
         )
     )
-    orig = events.withColumn("seq", F.col("seq") * 2)
+    orig = events.withColumn("seq", F.col("seq") * 2).withColumn(
+        "vts_ms", F.lit(None).cast("long")
+    )
     return orig.unionByName(injected.select(orig.columns))
 
 
@@ -113,6 +139,8 @@ def training_matrix(
     inject: bool = True,
     ranking_pred=None,
     series=None,
+    commit_at_expiry: bool = True,
+    max_session_ms: int = MAX_SESSION_MS,
 ) -> DataFrame:
     """ClickthroughValues-equivalent table: per (ranking, position, item)
     feature columns + label from interaction weights
@@ -123,7 +151,10 @@ def training_matrix(
     (engine.write_series over the SAME injected stream) — two-phase
     backfill's assembly-only path."""
     weights = interaction_weights or {"click": 1.0}
-    stream = inject_impressions(events) if inject else events
+    stream = (
+        inject_impressions(events, commit_at_expiry, max_session_ms)
+        if inject else events
+    )
     values = engine.ranking_values(stream, ranking_pred=ranking_pred, series=series)
 
     ints = events.filter(

@@ -83,10 +83,17 @@ def test_durations_and_errors():
         parse_duration_ms("yesterday")
     with pytest.raises(NotImplementedError):
         load_config("features:\n  - {name: x, type: ua, field: browser}")
+    # field scopes are supported on rate (ScopedRateFeatureTest parity) —
+    # but only with item./ranking. heads, and only on the counter types
+    cfg = load_config(
+        "features:\n  - {name: x, type: rate, top: a, bottom: b,"
+        " periods: [7], scope: item.tag}"
+    )
+    assert cfg.features[0].scope == "item.tag"
     with pytest.raises(NotImplementedError):
         load_config(
             "features:\n  - {name: x, type: rate, top: a, bottom: b,"
-            " periods: [7], scope: item.tag}"
+            " periods: [7], scope: session.tag}"
         )
 
 
