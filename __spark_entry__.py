@@ -591,6 +591,18 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash-LSH pair list (iterative min-label propagation; the canonical
+    survivor of each component is its lexicographically smallest doc).
+    The step a real curation pipeline runs after pair generation — keep
+    one doc per cluster."""
+    seq = tx.tokenized_sequences(spark, sf)
+    pairs = dd.minhash_lsh_pairs(seq, threshold=0.1)
+    ids = seq.select("doc_id")
+    return dd.connected_components(pairs, ids)
+
+
 def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
     """vector extractor reducers min/max/avg/size
     (NumVectorFeature.scala:28,192)."""
@@ -640,7 +652,7 @@ def _simhash_sql() -> str:
     return " + ".join(terms)
 
 
-def _minhash_sql(threshold: float) -> str:
+def _minhash_sql(threshold: float, cte_only: bool = False) -> str:
     sigs = ", ".join(
         f"list_min(list_transform(sh, s -> ({a}*s + {b}) % {dd.HASH_MOD})) AS m{i}"
         for i, (a, b) in enumerate(dd.MINHASH_PARAMS)
@@ -653,7 +665,7 @@ def _minhash_sql(threshold: float) -> str:
         + ")"
         for bi in range(n_bands)
     )
-    return f"""{SEQ},
+    body = f"""{SEQ},
     sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(tokens)-2),
              i -> ((tokens[i+1]::BIGINT*{dd.SHINGLE_MULT} + tokens[i+2]) % {dd.HASH_MOD}
                    * {dd.SHINGLE_MULT} + tokens[i+3]) % {dd.HASH_MOD})) AS sh
@@ -667,8 +679,33 @@ def _minhash_sql(threshold: float) -> str:
     verified AS (SELECT id_a, id_b,
         round(len(list_intersect(x.sh, y.sh))::DOUBLE
               / nullif(len(list_distinct(list_concat(x.sh, y.sh))), 0), 6) AS jaccard
-      FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
+    if cte_only:
+        return body + f""",
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold})"""
+    return body + f"""
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.1) -> str:
+    """Connected components over the minhash pair list via a recursive
+    transitive-closure CTE (exact for the fixture's small components):
+    cluster_id = min id reachable from a node, singletons self-cluster."""
+    chain = _minhash_sql(threshold, cte_only=True)
+    chain = chain.replace("WITH seq AS", "WITH RECURSIVE seq AS", 1)
+    return f"""{chain},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM e
+                    UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    lab AS (SELECT a, min(b) AS mn FROM reach GROUP BY a),
+    outp AS (SELECT d.doc_id::VARCHAR AS doc_id,
+               coalesce(least(l.a, l.mn), d.doc_id::VARCHAR) AS cluster_id
+             FROM documents d LEFT JOIN lab l ON l.a = d.doc_id::VARCHAR)
+    SELECT doc_id, cluster_id,
+      (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size,
+      doc_id <> cluster_id AS is_dup
+    FROM outp"""
 
 
 def _ngram_sql(n: int = 3) -> str:
@@ -807,6 +844,7 @@ _TEXT_ORACLES: dict[str, str] = {
           row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_dup
         FROM documents""",
     "dedup_minhash": _minhash_sql(0.1),
+    "dedup_clusters": _dedup_clusters_sql(0.1),
     "simhash": f"{SEQ} SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM seq",
     "term_match": f"""
         WITH w AS (SELECT doc_id,
@@ -897,6 +935,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "term_match": q_term_match,
     "ngram_match": q_ngram_match,

@@ -148,7 +148,21 @@ def parse_feature(entry: dict):
     if tpe == "item_age":
         return ItemAge(name, ttl_ms=ttl)
     if tpe == "local_time":
-        return LocalTime(name, part=entry.get("field", entry.get("part", "time_of_day")))
+        # reference schema: source: ranking.<field|timestamp>, parse:
+        # <mapper> (LocalDateTimeFeature.LocalDateTimeSchema; decoder
+        # requires a ranking-sourced field)
+        part = entry.get(
+            "parse", entry.get("field", entry.get("part", "time_of_day"))
+        )
+        lt_src = "timestamp"
+        if "source" in entry:
+            src_event, lt_src = _split_source(entry["source"])
+            if src_event != "ranking":
+                raise ValueError(
+                    "local_time can only read ranking event fields "
+                    "(LocalDateTimeFeature decoder .ensure)"
+                )
+        return LocalTime(name, part=part, source=lt_src)
     if tpe == "relevancy":
         return Relevancy(name)
     if tpe == "position":

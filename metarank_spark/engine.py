@@ -27,7 +27,7 @@ scores 0.0 (InteractedWithFeature.scala:133-164 fold starts at 0.0).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,7 +40,6 @@ from metarank_spark.operators.merge import (
     run_merged,
 )
 from metarank_spark.plans.asof import asof_join
-from metarank_spark.plans.windows import bucketed_window_count
 
 DAY_MS = 86_400_000
 GLOBAL_ENTITY = "$global"
@@ -202,11 +201,15 @@ class RandomFeature:
 
 @dataclass(frozen=True)
 class LocalTime:
-    """local_time (LocalDateTimeFeature.scala:25-28): calendar component of
-    the ranking timestamp (UTC). parts: time_of_day | day_of_week |
-    month_of_year | year | hour | minute | second."""
+    """local_time (LocalDateTimeFeature.scala:25-55): calendar component
+    of the ranking timestamp (UTC) or of an ISO datetime STRING carried
+    in a ranking field (``source`` = the field name; the value's own
+    offset defines its local calendar, exactly ZonedDateTime.parse).
+    parts: time_of_day | day_of_week | month_of_year | year | hour |
+    minute | second."""
     name: str
     part: str = "time_of_day"
+    source: str = "timestamp"  # 'timestamp' | ranking field holding ISO text
 
 
 @dataclass(frozen=True)
@@ -341,10 +344,21 @@ def _nan_array(dim: int) -> Column:
 
 class FeatureEngine:
     """Computes per-(ranking, item) feature values (the ItemValue matrix,
-    model/ItemValue.scala:25-72) from a canonical event table."""
+    model/ItemValue.scala:25-72) from a canonical event table.
 
-    def __init__(self, features: list[FeatureConfig]):
+    ``late_types``: interaction types whose writes may carry a VALUE
+    timestamp earlier than their commit position (``vts_ms != ts_ms``) —
+    in the reference pipeline only ImpressionInject backdates
+    (impressions committed at session expiry, stamped with the ranking's
+    ts). Periodic counters pay the anchor-exact machinery ONLY for these
+    types and only when the stream actually carries a ``vts_ms`` column;
+    every other flag keeps the cheaper monotone formula, which is exact
+    for writes stamped at commit time."""
+
+    def __init__(self, features: list[FeatureConfig],
+                 late_types: frozenset[str] = frozenset({"impression"})):
         self.features = features
+        self.late_types = late_types
 
     # ---------------- write-time series builders ----------------
 
@@ -367,6 +381,22 @@ class FeatureEngine:
             & (F.col("interaction_type") == interaction)
         ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
         return self._counter_fold(w)
+
+    @staticmethod
+    def _monotone_period_counts(
+        one: Column, bucket: Column, periods: tuple[int, ...]
+    ) -> Column:
+        """Per-period trailing-bucket counts for writes stamped at commit
+        time (buckets monotone in the sort order): running total minus
+        the older-than-window RANGE total — the cheap formula, exact when
+        every write is at the state's max bucket."""
+        run = entity_rows_window("entity")
+        return F.array(*[
+            (F.coalesce(F.sum(one).over(run), F.lit(0))
+             - F.coalesce(F.sum(one).over(
+                 bucket_range_window("entity", bucket, p)), F.lit(0)))
+            for p in periods
+        ])
 
     @staticmethod
     def _anchored_period_counts(
@@ -408,12 +438,19 @@ class FeatureEngine:
     ) -> DataFrame:
         """Per-period bucket-window vector at each write of a (entity,
         ts_ms, seq[, vts_ms]) frame — buckets use the VALUE ts, order is
-        the commit order."""
-        vts = F.col("vts_ms") if "vts_ms" in w.columns else F.col("ts_ms")
-        bucket = F.floor(F.coalesce(vts, F.col("ts_ms")) / F.lit(bucket_ms))
-        vec = self._anchored_period_counts(
-            F.lit(True), F.lit(1), bucket, periods, "entity"
-        )
+        the commit order. The anchor-exact machinery runs only when the
+        frame carries a vts_ms column (i.e. its writes can be late)."""
+        late = "vts_ms" in w.columns
+        if late:
+            bucket = F.floor(
+                F.coalesce(F.col("vts_ms"), F.col("ts_ms")) / F.lit(bucket_ms)
+            )
+            vec = self._anchored_period_counts(
+                F.lit(True), F.lit(1), bucket, periods, "entity"
+            )
+        else:
+            bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
+            vec = self._monotone_period_counts(F.lit(1), bucket, periods)
         # the shared window helpers order by (ts_ms, seq, __side); on a
         # writes-only frame the side marker is a constant
         from metarank_spark.operators.merge import SIDE_WRITE
@@ -426,7 +463,10 @@ class FeatureEngine:
         periods: tuple[int, ...], bucket_ms: int,
     ) -> DataFrame:
         """PeriodicCounter write series over a plain entity scope."""
-        cols = ["ts_ms", "seq"] + (["vts_ms"] if "vts_ms" in events.columns else [])
+        late = (
+            "vts_ms" in events.columns and interaction in self.late_types
+        )
+        cols = ["ts_ms", "seq"] + (["vts_ms"] if late else [])
         w = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
@@ -458,7 +498,11 @@ class FeatureEngine:
         scope keeps the item id (Scope.scala:48-52 RankingFieldScope).
         Interactions whose field value is unknown write nothing (reference
         emits Nil)."""
-        vcols = ["vts_ms"] if "vts_ms" in events.columns else []
+        vcols = (
+            ["vts_ms"]
+            if "vts_ms" in events.columns and interaction in self.late_types
+            else []
+        )
         ints = events.filter(
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
@@ -603,6 +647,7 @@ class FeatureEngine:
         if mode not in ("training", "inference"):
             raise ValueError(f"mode must be training|inference, got {mode!r}")
         self._mode = mode
+        self._has_late = "vts_ms" in events.columns
         events = _with_vts(events)
         rankings = events.filter(F.col("event_type") == "ranking").select(
             F.col("event_id").alias("ranking_id"),
@@ -678,6 +723,7 @@ class FeatureEngine:
         and reused by every entity range's assembly pass."""
         from metarank_spark.operators.merge import write_series as _ws
 
+        self._has_late = "vts_ms" in events.columns
         events = _with_vts(events)
         merged_groups, _, _ = self._partition_features()
         out = {}
@@ -780,10 +826,13 @@ class FeatureEngine:
         ent_write = _entity_col(scope)
 
         preds, payloads, feats = [], {}, []
-        # the VALUE timestamp rides along as a payload so bucket exprs on
-        # the merged frame can use it (null on query rows → fall back to
-        # the row's own commit ts, which only affects frame ordering)
-        payloads["__vts"] = F.col("vts_ms")
+        has_late = getattr(self, "_has_late", False)
+        if has_late:
+            # the VALUE timestamp rides along as a payload so bucket exprs
+            # on the merged frame can use it (null on query rows → fall
+            # back to the row's own commit ts, which only affects frame
+            # ordering); skipped entirely on streams with no late writes
+            payloads["__vts"] = F.col("vts_ms")
         itypes: dict[str, str] = {}
 
         def itype_flag(itype: str) -> str:
@@ -815,12 +864,19 @@ class FeatureEngine:
                 feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, WindowCount):
                 fl = itype_flag(cfg.interaction)
-                bucket = F.floor(
-                    F.coalesce(F.col("__vts"), F.col("ts_ms")) / F.lit(cfg.bucket_ms)
+                vts = (
+                    F.coalesce(F.col("__vts"), F.col("ts_ms"))
+                    if has_late else F.col("ts_ms")
                 )
-                vec = self._anchored_period_counts(
-                    F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
-                )
+                bucket = F.floor(vts / F.lit(cfg.bucket_ms))
+                if has_late and cfg.interaction in self.late_types:
+                    vec = self._anchored_period_counts(
+                        F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
+                    )
+                else:
+                    vec = self._monotone_period_counts(
+                        F.col(fl), bucket, cfg.periods
+                    )
                 wc = {f"{cfg.name}__v": masked(F.col(fl) == 1, vec)}
                 dim = len(cfg.periods)
                 fin = lambda c, n=f"{cfg.name}__v", d=dim: F.when(  # noqa: E731
@@ -831,18 +887,26 @@ class FeatureEngine:
                 feats.append(MergedFeature(cfg.name, wc, fin))
             elif isinstance(cfg, Rate):
                 ft, fb = itype_flag(cfg.top), itype_flag(cfg.bottom)
-                bucket = F.floor(
-                    F.coalesce(F.col("__vts"), F.col("ts_ms")) / F.lit(cfg.bucket_ms)
+                vts = (
+                    F.coalesce(F.col("__vts"), F.col("ts_ms"))
+                    if has_late else F.col("ts_ms")
                 )
+                bucket = F.floor(vts / F.lit(cfg.bucket_ms))
 
-                def wvec(fl):
-                    # separate anchors: top/bottom are separate store keys
-                    return self._anchored_period_counts(
-                        F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
+                def wvec(fl, itype):
+                    # separate anchors: top/bottom are separate store
+                    # keys; anchor machinery only for types that can be
+                    # backdated (injected impressions)
+                    if has_late and itype in self.late_types:
+                        return self._anchored_period_counts(
+                            F.col(fl) == 1, F.col(fl), bucket, cfg.periods, "entity"
+                        )
+                    return self._monotone_period_counts(
+                        F.col(fl), bucket, cfg.periods
                     )
                 wc = {
-                    f"{cfg.name}__t": masked(F.col(ft) == 1, wvec(ft)),
-                    f"{cfg.name}__b": masked(F.col(fb) == 1, wvec(fb)),
+                    f"{cfg.name}__t": masked(F.col(ft) == 1, wvec(ft, cfg.top)),
+                    f"{cfg.name}__b": masked(F.col(fb) == 1, wvec(fb, cfg.bottom)),
                 }
                 dim = len(cfg.periods)
                 fin = lambda c, tn=f"{cfg.name}__t", bn=f"{cfg.name}__b", d=dim: F.when(  # noqa: E731,E501
@@ -1359,7 +1423,17 @@ class FeatureEngine:
           functions on TIMESTAMP would silently follow the session tz)
 
         hour/minute are engine extensions beyond the reference's mappers.
+
+        Field-sourced variant (LocalDateTimeFeature.scala:41-53): the
+        ranking field holds an ISO_DATE_TIME string parsed as
+        ZonedDateTime — the mappers then read the string's OWN local
+        calendar parts, so the implementation extracts them textually
+        (regexp), never converting through the session timezone. Parse
+        requires an explicit offset (Z or ±hh:mm), like
+        ZonedDateTime.parse; anything else reads missing (NaN).
         """
+        if cfg.source != "timestamp":
+            return self._attach_local_time_field(base, cfg)
         ms = F.col("ts_ms")
         day = F.floor(ms / F.lit(DAY_MS))
         d = F.date_add(F.to_date(F.lit("1970-01-01")), day.cast("int"))
@@ -1373,6 +1447,51 @@ class FeatureEngine:
             "year": F.year(d).cast("double"),
         }
         return base.withColumn(cfg.name, parts[cfg.part])
+
+    def _attach_local_time_field(self, base, cfg: LocalTime):
+        """ISO datetime string in a ranking field → local calendar parts,
+        extracted textually (timezone-free; the string's own offset only
+        enters the epoch-second mapper)."""
+        raw = F.col("__rk_str").getItem(cfg.source).getItem(0)
+        pat = (
+            r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
+            r"(?:\.\d+)?(Z|[+-]\d{2}:?\d{2})$"
+        )
+
+        def g(i):
+            return F.regexp_extract(raw, pat, i)
+
+        ok = g(7) != ""
+        y, mo, dd_ = g(1).cast("int"), g(2).cast("int"), g(3).cast("int")
+        h, mi, s = g(4).cast("int"), g(5).cast("int"), g(6).cast("int")
+        # epoch day of the LOCAL date via tz-free DATE arithmetic
+        epoch_day = F.datediff(
+            F.to_date(F.concat_ws("-", g(1), g(2), g(3))),
+            F.to_date(F.lit("1970-01-01")),
+        )
+        off = g(7)
+        off_sec = F.when(off == "Z", 0).otherwise(
+            (F.when(F.substring(off, 1, 1) == "-", -1).otherwise(1))
+            * (
+                F.substring(off, 2, 2).cast("int") * 3600
+                + F.regexp_extract(off, r"(\d{2})$", 1).cast("int") * 60
+            )
+        )
+        sod = h * 3600 + mi * 60 + s
+        parts = {
+            "time_of_day": sod / F.lit(3600.0),
+            "day_of_week": (((epoch_day + 3) % 7) + 1).cast("double"),
+            "hour": h.cast("double"),
+            "minute": mi.cast("double"),
+            # toEpochSecond: local wall seconds minus the offset
+            "second": (
+                epoch_day.cast("long") * 86400 + sod.cast("long") - off_sec
+            ).cast("double"),
+            "month_of_year": mo.cast("double"),
+            "year": y.cast("double"),
+        }
+        val = F.when(ok, parts[cfg.part]).otherwise(F.lit(float("nan")))
+        return base.withColumn(cfg.name, val)
 
     def _attach_diversity(self, base, rankings, events, cfg: Diversity):
         """DiversityFeature: the candidate's field value vs the ranking's

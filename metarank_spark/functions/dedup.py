@@ -160,6 +160,66 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over a
+    pair list (minhash/simhash/embedding candidates), by iterative
+    min-label propagation — each node repeatedly takes the minimum label
+    among itself and its neighbors until fixpoint.
+
+    Output: one row per id — (id, cluster_id = lexicographic min id of
+    its component, cluster_size, is_dup = not the canonical survivor).
+    Singletons cluster with themselves.
+
+    Scale notes: label propagation converges in O(component diameter)
+    rounds; near-dup components are short chains, so a handful of
+    (join + min-aggregate) rounds — each one shuffle on the node key —
+    suffices. The driver loop only reads a scalar convergence count per
+    round (no row data ever collects). At warehouse scale, checkpoint
+    ``labels`` every few rounds to truncate lineage, or switch to the
+    large-star/small-star variant; the per-round plan is identical."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        new = new.persist()
+        changed = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted initial frame
+        labels = new
+        if changed == 0:
+            break
+    size_w = Window.partitionBy("lbl")
+    return (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+        .select(
+            F.col("node").alias(id_col),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") != F.col("lbl")).alias("is_dup"),
+        )
+    )
+
+
 def simhash_expr(tokens: Column) -> Column:
     """SimHash over the token multiset: spread each token id with a
     Knuth-style multiplier, majority-vote each of SIMHASH_BITS bits."""

@@ -100,12 +100,15 @@ def inject_impressions(
     )
     max_pos = F.array_max(positions)  # null if no interacted item is in the list
     if commit_at_expiry:
-        # commit position = eviction time; value ts = the ranking's ts
+        # commit position = eviction time; value ts = the ranking's ts.
+        # only this mode emits the vts_ms column: downstream the engine
+        # pays the anchor-exact periodic machinery only for streams that
+        # actually carry late writes
         commit_ts = F.col("last_int_ts") + F.lit(max_session_ms)
-        vts = F.col("ts_ms")
+        vts_cols = [F.col("ts_ms").alias("vts_ms")]
     else:
         commit_ts = F.col("ts_ms")
-        vts = F.lit(None).cast("long")
+        vts_cols = []
     injected = (
         cts.withColumn("max_pos", max_pos)
         .filter(F.col("max_pos").isNotNull())
@@ -114,7 +117,7 @@ def inject_impressions(
             F.lit("interaction").alias("event_type"),
             commit_ts.alias("ts_ms"),
             (F.col("last_int_seq") * 2 + 1).alias("seq"),
-            vts.alias("vts_ms"),
+            *vts_cols,
             F.explode(F.slice(item_ids, 1, F.col("max_pos"))).alias("item_id"),
             F.col("user_id"),
             F.col("session_id"),
@@ -126,9 +129,9 @@ def inject_impressions(
             F.lit(None).cast(EVENT_SCHEMA["numlist_fields"].dataType).alias("numlist_fields"),
         )
     )
-    orig = events.withColumn("seq", F.col("seq") * 2).withColumn(
-        "vts_ms", F.lit(None).cast("long")
-    )
+    orig = events.withColumn("seq", F.col("seq") * 2)
+    if commit_at_expiry:
+        orig = orig.withColumn("vts_ms", F.lit(None).cast("long"))
     return orig.unionByName(injected.select(orig.columns))
 
 

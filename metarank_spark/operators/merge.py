@@ -22,7 +22,7 @@ in-partition re-sort (bucket is monotone in ts), no extra shuffle. At
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

@@ -37,10 +37,12 @@ def test_impression_inject_up_to_max_clicked_position(spark):
     # original events re-sequenced to even slots, order preserved
     orig = out.filter(F.col("interaction_type").isNull() | (F.col("interaction_type") == "click"))
     assert sorted(r["seq"] for r in orig.collect()) == [2, 4, 6]
-    # legacy commit-at-completion mode: ts stays the ranking's ts
+    # legacy commit-at-completion mode: ts stays the ranking's ts, and no
+    # vts_ms column is emitted (no late writes → no anchor machinery)
     legacy = inject_impressions(events_df(spark, rows), commit_at_expiry=False)
+    assert "vts_ms" not in legacy.columns
     limp = legacy.filter(F.col("interaction_type") == "impression").collect()
-    assert all(r["ts_ms"] == T0 and r["vts_ms"] is None for r in limp)
+    assert all(r["ts_ms"] == T0 for r in limp)
 
 
 def test_interaction_on_unknown_item_ignored(spark):

@@ -89,3 +89,63 @@ def test_position_yaml_config_round_trip(spark):
 
     cfg = load_config("features:\n  - name: pos\n    type: position\n    position: 7\n")
     assert cfg.features[0].position == 7
+
+
+def test_local_time_field_sourced_iso_parsing(spark):
+    """LocalDateTimeFeature field branch (LocalDateTimeFeature.scala:41-53):
+    an ISO datetime STRING in a ranking field is parsed as ZonedDateTime
+    and the mappers read ITS local calendar — independent of the Spark
+    session timezone. No offset → parse failure → missing."""
+    import math
+
+    from metarank_spark.engine import LocalTime
+
+    rows = [
+        ranking_event(
+            "r1", ["p1"], T0, 1, user="u1", session="s1",
+            str_fields={"dt": ["2024-03-05T12:30:45+02:00"]},
+        ),
+        ranking_event(
+            "r2", ["p1"], T0 + 1, 2, user="u1", session="s1",
+            str_fields={"dt": ["2024-03-05T12:30:45"]},  # no offset → missing
+        ),
+    ]
+    eng = FeatureEngine([
+        LocalTime("tod", part="time_of_day", source="dt"),
+        LocalTime("dow", part="day_of_week", source="dt"),
+        LocalTime("moy", part="month_of_year", source="dt"),
+        LocalTime("yr", part="year", source="dt"),
+        LocalTime("sec", part="second", source="dt"),
+    ])
+    got = {r["ranking_id"]: r.asDict()
+           for r in eng.ranking_values(events_df(spark, rows)).collect()}
+    r1 = got["r1"]
+    assert abs(r1["tod"] - (12 * 3600 + 30 * 60 + 45) / 3600.0) < 1e-9
+    assert r1["dow"] == 2.0   # 2024-03-05 is a Tuesday (ISO 2)
+    assert r1["moy"] == 3.0 and r1["yr"] == 2024.0
+    # epoch second: 2024-03-05T12:30:45+02:00 == 10:30:45 UTC
+    import datetime
+    exp = datetime.datetime(2024, 3, 5, 10, 30, 45,
+                            tzinfo=datetime.timezone.utc).timestamp()
+    assert r1["sec"] == exp
+    assert all(math.isnan(got["r2"][c]) for c in ("tod", "dow", "moy", "yr", "sec"))
+
+
+def test_local_time_yaml_source_parse(spark):
+    from metarank_spark.config import load_config
+
+    cfg = load_config(
+        "features:\n"
+        "  - name: hour\n"
+        "    type: local_time\n"
+        "    source: ranking.dt\n"
+        "    parse: time_of_day\n"
+    )
+    f = cfg.features[0]
+    assert f.part == "time_of_day" and f.source == "dt"
+    import pytest
+    with pytest.raises(ValueError):
+        load_config(
+            "features:\n  - {name: h, type: local_time,"
+            " source: item.dt, parse: year}"
+        )

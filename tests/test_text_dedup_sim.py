@@ -147,3 +147,19 @@ def test_band_keys_match_unbanded_planes(spark):
         sim.lsh_band_keys(F.col("embedding"), 4, planes=8, band_bits=8).alias("bands"),
     ).collect()[0]
     assert out["bands"][0] == f"0_{out['flat']}"
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Label propagation: a chain a-b, b-c merges into one cluster with
+    canonical min id; d stays a singleton; convergence needs 2 rounds
+    (diameter 2)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a: string, id_b: string"
+    )
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id: string")
+    out = {r["doc_id"]: r for r in dd.connected_components(pairs, ids).collect()}
+    assert {k: v["cluster_id"] for k, v in out.items()} == {
+        "a": "a", "b": "a", "c": "a", "d": "d"
+    }
+    assert out["c"]["cluster_size"] == 3 and out["d"]["cluster_size"] == 1
+    assert out["a"]["is_dup"] is False and out["b"]["is_dup"] is True
