@@ -591,6 +591,48 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+DECON_BENCH_IDS = ("0", "1", "2")
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination — the training-data op that drops
+    documents overlapping an eval set: a document is contaminated when it
+    shares any token-trigram shingle with the benchmark corpus (here the
+    first 3 docs stand in for the benchmark). Plan: benchmark shingles
+    are a small broadcast dim; each document's distinct shingles explode
+    and semi-join it — linear in corpus shingles, no window, no
+    all-pairs. At 100 TB the benchmark side stays broadcastable (eval
+    sets are tiny) and the doc side is a single scan."""
+    from pyspark import StorageLevel
+
+    seq = tx.tokenized_sequences(spark, sf)
+    # persist: the shingle table is referenced by the benchmark dim, the
+    # exploded probe side, and the full-corpus left join — without a
+    # materialization barrier CollapseProject re-inlines the tokenize +
+    # shingle HOF chain into every reference (the round-1 minhash lesson)
+    sh = seq.select(
+        "doc_id", dd.shingles_expr(F.col("tokens")).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = (
+        sh.filter(F.col("doc_id").isin(*DECON_BENCH_IDS))
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    hits = ex.join(F.broadcast(bench), "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sh.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
     MinHash-LSH pair list (iterative min-label propagation; the canonical
@@ -845,6 +887,21 @@ _TEXT_ORACLES: dict[str, str] = {
         FROM documents""",
     "dedup_minhash": _minhash_sql(0.1),
     "dedup_clusters": _dedup_clusters_sql(0.1),
+    "decontaminate": f"""{SEQ},
+        sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
+                 THEN list_distinct(list_transform(range(0, len(tokens)-2),
+                   i -> ((tokens[i+1]::BIGINT*{dd.SHINGLE_MULT} + tokens[i+2]) % {dd.HASH_MOD}
+                         * {dd.SHINGLE_MULT} + tokens[i+3]) % {dd.HASH_MOD}))
+                 ELSE []::BIGINT[] END AS sh
+               FROM seq),
+        bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+                  WHERE doc_id IN {DECON_BENCH_IDS}),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        hits AS (SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (g)
+                 GROUP BY doc_id)
+        SELECT s.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)""",
     "simhash": f"{SEQ} SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM seq",
     "term_match": f"""
         WITH w AS (SELECT doc_id,
@@ -936,6 +993,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "term_match": q_term_match,
     "ngram_match": q_ngram_match,

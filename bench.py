@@ -31,6 +31,7 @@ HEADLINE = [
     "trending",
     "tokenize",
     "dedup_minhash",
+    "decontaminate",
     "simhash",
     "ann_cosine",
     "ann_lsh",
