@@ -70,6 +70,10 @@ def _manifest_path(output: str, rid) -> str:
 
 
 def load_manifests(output: str) -> dict[int, dict]:
+    """A manifest only counts if its published output still exists: a
+    lineage record whose data directory was deleted (cleanup, partial
+    sync, operator error) must NOT mask a recompute — the manifest is a
+    receipt for the files, not a substitute for them."""
     d = os.path.join(output, MANIFEST_DIR)
     if not os.path.isdir(d):
         return {}
@@ -78,6 +82,9 @@ def load_manifests(output: str) -> dict[int, dict]:
         if f.startswith("range-") and f.endswith(".json"):
             with open(os.path.join(d, f)) as fh:
                 m = json.load(fh)
+            target = m.get("output")
+            if target and not os.path.exists(target):
+                continue  # data gone → treat as never completed
             out[m["range_id"]] = m
     return out
 

@@ -70,6 +70,27 @@ def test_backfill_resume(spark, tmp_path):
     assert all("input_fingerprint" in m and m["rows_per_sec"] is not None for m in all_m.values())
 
 
+def test_backfill_deleted_range_recomputes(spark, tmp_path):
+    """A manifest is a receipt for the published files, not a substitute:
+    if a range's data directory disappears (cleanup, partial sync), resume
+    must recompute that range instead of trusting the stale manifest."""
+    import shutil
+
+    ev = _events(spark)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    out = str(tmp_path / "dropped")
+    backfill(ev, eng, out, n_ranges=4)
+    expected = _collect_output(spark, out)
+
+    victim = load_manifests(out)[1]["output"]
+    shutil.rmtree(victim)
+    assert 1 not in load_manifests(out)  # receipt no longer counts
+
+    completed = backfill(ev, eng, out, n_ranges=4)
+    assert [m["range_id"] for m in completed] == [1]  # only the gap reruns
+    assert _collect_output(spark, out) == expected
+
+
 def test_backfill_materialized_input_same_result(spark, tmp_path):
     ev = _events(spark)
     eng = FeatureEngine([InteractionCount("clicks", "click")])
