@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None, help="local[N] when not on a cluster")
     ap.add_argument("--materialize-input", action="store_true",
                     help="stage events once as a bucketed+sorted table before the range loop")
+    ap.add_argument("--hot-chunk-ms", type=int, default=0,
+                    help="salt per-entity windows by floor(ts/chunk) with "
+                         "exact reassembly — spreads a hot entity's "
+                         "timeline over timeline/chunk tasks (0 = off)")
     ap.add_argument("--materialize-series", action="store_true",
                     help="two-phase: fold each scope group's write-value series once, "
                          "then run assembly-only per range")
@@ -106,13 +110,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.config:
         from metarank_spark.config import load_config
 
-        engine = FeatureEngine(load_config(args.config).features)
+        engine = FeatureEngine(load_config(args.config).features,
+                               hot_chunk_ms=args.hot_chunk_ms or None)
     else:
         spec = DEFAULT_FEATURES
         if args.features:
             with open(args.features) as fh:
                 spec = json.load(fh)
-        engine = FeatureEngine(parse_features(spec))
+        engine = FeatureEngine(parse_features(spec),
+                               hot_chunk_ms=args.hot_chunk_ms or None)
 
     completed = backfill(
         events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,

@@ -356,16 +356,39 @@ class FeatureEngine:
     for writes stamped at commit time."""
 
     def __init__(self, features: list[FeatureConfig],
-                 late_types: frozenset[str] = frozenset({"impression"})):
+                 late_types: frozenset[str] = frozenset({"impression"}),
+                 hot_chunk_ms: int | None = None):
         self.features = features
         self.late_types = late_types
+        # Hot-entity salting (the north star's "range-partitioned and
+        # salted by entity key"): when set, every event-scale per-entity
+        # window runs with (entity, floor(ts/hot_chunk_ms)) partitions and
+        # exact cross-chunk reassembly (plans/prefix.py) — the merged
+        # scan's as-of carry for ALL features, plus the counter and
+        # monotone periodic folds. A hot key's timeline then spreads over
+        # timeline/chunk tasks instead of pinning one. Output is
+        # bit-identical (tests/test_engine_salted.py). The anchored
+        # late-write periodic machinery and the pool features' last-N
+        # frames keep per-entity order (their state is an inherently
+        # sequential carry); their write streams are one interaction type,
+        # orders of magnitude sparser than the carry frame this salts.
+        self.hot_chunk_ms = hot_chunk_ms
 
     # ---------------- write-time series builders ----------------
 
-    @staticmethod
-    def _counter_fold(w: DataFrame) -> DataFrame:
+    def _counter_fold(self, w: DataFrame) -> DataFrame:
         """Running count per entity over a (entity, ts_ms, seq) write
         frame (MemCounter.scala:13-22)."""
+        from metarank_spark.operators.merge import SIDE_WRITE
+
+        if "__side" not in w.columns:
+            w = w.withColumn("__side", F.lit(SIDE_WRITE))
+        if self.hot_chunk_ms:
+            from metarank_spark.plans.prefix import salted_running_count
+
+            return salted_running_count(
+                w, "entity", ORDER, self.hot_chunk_ms
+            ).select("entity", "ts_ms", "seq", "cnt")
         run = (
             Window.partitionBy("entity")
             .orderBy(*ORDER)
@@ -440,21 +463,31 @@ class FeatureEngine:
         ts_ms, seq[, vts_ms]) frame — buckets use the VALUE ts, order is
         the commit order. The anchor-exact machinery runs only when the
         frame carries a vts_ms column (i.e. its writes can be late)."""
+        from metarank_spark.operators.merge import SIDE_WRITE
+
         late = "vts_ms" in w.columns
         if late:
+            # the anchored machinery is an inherently sequential carry
+            # (running max + last-at-max); it keeps per-entity order even
+            # under hot-entity salting — see FeatureEngine.__init__
             bucket = F.floor(
                 F.coalesce(F.col("vts_ms"), F.col("ts_ms")) / F.lit(bucket_ms)
             )
             vec = self._anchored_period_counts(
                 F.lit(True), F.lit(1), bucket, periods, "entity"
             )
+        elif self.hot_chunk_ms:
+            from metarank_spark.plans.prefix import salted_monotone_period_counts
+
+            w = w.withColumn("__side", F.lit(SIDE_WRITE))
+            return salted_monotone_period_counts(
+                w, "entity", ORDER, bucket_ms, periods
+            ).select("entity", "ts_ms", "seq", "vec")
         else:
             bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
             vec = self._monotone_period_counts(F.lit(1), bucket, periods)
         # the shared window helpers order by (ts_ms, seq, __side); on a
         # writes-only frame the side marker is a constant
-        from metarank_spark.operators.merge import SIDE_WRITE
-
         w = w.withColumn("__side", F.lit(SIDE_WRITE))
         return w.select("entity", "ts_ms", "seq", vec.alias("vec"))
 
@@ -779,8 +812,14 @@ class FeatureEngine:
         if series is not None:
             from metarank_spark.operators.merge import assemble_from_series
 
-            return assemble_from_series(queries, series, "entity", feats, qkeys)
-        return run_merged(queries, writes, "entity", feats, qkeys)
+            return assemble_from_series(
+                queries, series, "entity", feats, qkeys,
+                salt_chunk_ms=self.hot_chunk_ms,
+            )
+        return run_merged(
+            queries, writes, "entity", feats, qkeys,
+            salt_chunk_ms=self.hot_chunk_ms,
+        )
 
     @staticmethod
     def _ttl_wrap(cfg, wc: dict, fin, flags: dict[str, Column] | None = None,

@@ -52,6 +52,7 @@ def run_merged(
     entity: str,
     features: list[MergedFeature],
     query_keys: list[str],
+    salt_chunk_ms: int | None = None,
 ) -> DataFrame:
     """queries: (entity, ts_ms, seq, *query_keys); writes: (entity, ts_ms,
     seq, *payload). Returns query rows + one column per feature."""
@@ -79,7 +80,7 @@ def run_merged(
     inter = merged.select("*", *[
         expr.alias(n) for f in features for n, expr in f.write_cols.items()
     ])
-    return _carry_and_finish(inter, entity, features, query_keys)
+    return _carry_and_finish(inter, entity, features, query_keys, salt_chunk_ms)
 
 
 def _carry_and_finish(
@@ -87,22 +88,36 @@ def _carry_and_finish(
     entity: str,
     features: list[MergedFeature],
     query_keys: list[str],
+    salt_chunk_ms: int | None = None,
 ) -> DataFrame:
     """Shared tail of the merged scan: carry the latest strictly-before
-    write value to each query row and apply each feature's finish expr."""
+    write value to each query row and apply each feature's finish expr.
+
+    ``salt_chunk_ms``: when set, the carry runs with (entity, time-chunk)
+    window partitions (plans/prefix.salted_strict_last_carry) so a hot
+    entity's merged timeline spreads over timeline/chunk_ms tasks — the
+    exact-reassembly salting of the north star's "range-partitioned and
+    salted by entity key". Output is bit-identical either way."""
     all_write_names = [n for f in features for n in f.write_cols]
-    strict = (
-        Window.partitionBy(entity)
-        .orderBy(*ORDER)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carried = inter.select(
-        "*",
-        *[
-            F.last(F.col(n), ignorenulls=True).over(strict).alias(f"__carr_{n}")
-            for n in all_write_names
-        ],
-    )
+    if salt_chunk_ms:
+        from metarank_spark.plans.prefix import salted_strict_last_carry
+
+        carried = salted_strict_last_carry(
+            inter, all_write_names, entity, ORDER, salt_chunk_ms
+        )
+    else:
+        strict = (
+            Window.partitionBy(entity)
+            .orderBy(*ORDER)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = inter.select(
+            "*",
+            *[
+                F.last(F.col(n), ignorenulls=True).over(strict).alias(f"__carr_{n}")
+                for n in all_write_names
+            ],
+        )
     out = carried.filter(F.col("__side") == SIDE_QUERY)
     feature_cols = [
         f.finish({n: F.col(f"__carr_{n}") for n in f.write_cols}).alias(f.name)
@@ -144,6 +159,7 @@ def assemble_from_series(
     entity: str,
     features: list[MergedFeature],
     query_keys: list[str],
+    salt_chunk_ms: int | None = None,
 ) -> DataFrame:
     """Phase B: attach features to query rows from a pre-computed
     write-value series (write_series output — typically read back from
@@ -174,7 +190,7 @@ def assemble_from_series(
         *[F.col(n) for n in all_write_names],
     )
     merged = q.unionByName(w)
-    return _carry_and_finish(merged, entity, features, query_keys)
+    return _carry_and_finish(merged, entity, features, query_keys, salt_chunk_ms)
 
 
 # ---------- frame helpers usable inside write_cols ----------

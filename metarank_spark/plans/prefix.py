@@ -83,3 +83,181 @@ def salted_cumulative_sum(
         joined.withColumn(out, F.coalesce(F.col("__offset"), F.lit(0)) + within)
         .drop("__salt", "__v", "__offset")
     )
+
+
+def salted_strict_last_carry(
+    df: DataFrame,
+    cols: list[str],
+    entity: str,
+    order: tuple[str, ...],
+    chunk_ms: int,
+    out_prefix: str = "__carr_",
+) -> DataFrame:
+    """``last(col, ignorenulls=True) OVER (PARTITION BY entity ORDER BY
+    order ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` for every name in
+    ``cols`` — the merged scan's as-of carry — computed with
+    (entity, time-chunk) window partitions so a hot entity's timeline
+    spreads over timeline/chunk_ms tasks instead of one.
+
+    Decomposition (exact for ANY column type, list/map included):
+      within  = strict last non-null inside my chunk          (chunk window)
+      final_c = chunk's last non-null value, one row per
+                (entity, chunk)                               (tiny frame)
+      offset  = last non-null final_c over strictly-earlier
+                chunks                                        (tiny window)
+      carry   = coalesce(within, offset)
+    Chunks partition the ``order`` prefix ordering because the chunk key
+    floor(ts/chunk_ms) is non-decreasing in (ts, ...): every row of an
+    earlier chunk is strictly earlier, and within-chunk strictness handles
+    the rest — so the union of {earlier chunks} and {earlier rows in my
+    chunk} is exactly the strictly-before set. Property-tested
+    bit-identical in tests/test_prefix_salted.py."""
+    ts = order[0]
+    staged = df.withColumn("__salt", F.floor(F.col(ts) / F.lit(chunk_ms)))
+    w_in = (
+        Window.partitionBy(entity, "__salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # chunk-final value via a FULL-frame last (works for non-orderable
+    # types where a max_by(struct) trick would not), then one row per
+    # chunk with any_value — all rows of the group carry the same value
+    w_all = (
+        Window.partitionBy(entity, "__salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    within = staged.select(
+        "*",
+        *[F.last(F.col(n), ignorenulls=True).over(w_in).alias(f"__in_{n}") for n in cols],
+        *[F.last(F.col(n), ignorenulls=True).over(w_all).alias(f"__cf_{n}") for n in cols],
+    )
+    finals = within.groupBy(entity, "__salt").agg(
+        *[F.any_value(F.col(f"__cf_{n}")).alias(f"__f_{n}") for n in cols]
+    )
+    w_off = (
+        Window.partitionBy(entity)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = finals.select(
+        entity,
+        "__salt",
+        *[
+            F.last(F.col(f"__f_{n}"), ignorenulls=True).over(w_off).alias(f"__off_{n}")
+            for n in cols
+        ],
+    )
+    joined = within.join(offsets, [entity, "__salt"], "left")
+    out = joined.select(
+        "*",
+        *[
+            F.coalesce(F.col(f"__in_{n}"), F.col(f"__off_{n}")).alias(f"{out_prefix}{n}")
+            for n in cols
+        ],
+    )
+    drop = ["__salt"] + [p + n for n in cols for p in ("__in_", "__cf_", "__off_")]
+    return out.drop(*drop)
+
+
+def salted_running_count(
+    w: DataFrame,
+    entity: str,
+    order: tuple[str, ...],
+    chunk_ms: int,
+    out: str = "cnt",
+) -> DataFrame:
+    """Inclusive running row count per entity (MemCounter semantics) with
+    (entity, time-chunk) partitions: within-chunk index + strictly-earlier
+    chunk totals. Bit-identical to ``count(1) OVER (PARTITION BY entity
+    ORDER BY order ROWS UNBOUNDED PRECEDING)`` — the count depends only on
+    the partition of rows into earlier/later, which the chunking preserves."""
+    ts = order[0]
+    staged = w.withColumn("__salt", F.floor(F.col(ts) / F.lit(chunk_ms)))
+    w_in = (
+        Window.partitionBy(entity, "__salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = staged.withColumn("__idx", F.count(F.lit(1)).over(w_in))
+    totals = staged.groupBy(entity, "__salt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(entity)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        entity, "__salt",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    joined = within.join(offsets, [entity, "__salt"], "left")
+    return (
+        joined.withColumn(out, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__idx"))
+        .drop("__salt", "__idx", "__off")
+    )
+
+
+def salted_monotone_period_counts(
+    w: DataFrame,
+    entity: str,
+    order: tuple[str, ...],
+    bucket_ms: int,
+    periods: tuple[int, ...],
+    out: str = "vec",
+) -> DataFrame:
+    """PeriodicCounter write-row vector (element p = #writes in buckets
+    [own-p, own] up to and including this row) for commit-time-stamped
+    (monotone-bucket) streams, decomposed so no window partitions by the
+    bare entity over the event-scale frame:
+
+      B        = per-(entity, bucket) write counts       (groupBy — partial
+                 agg absorbs the hot key map-side)
+      cum      = running bucket totals \\ older_p = totals at buckets
+                 <= own-p-1                              (bucket-level frame:
+                 one row per entity-day — 10-year timeline = ~3.6k rows,
+                 never event-scale)
+      idx      = within-(entity, bucket) inclusive index (chunk window —
+                 the hot entity spreads across its buckets)
+      element  = (cum - B_own + idx) - older_p
+
+    Bit-identical to engine._monotone_period_counts (running total minus
+    older-than-window RANGE total) on monotone streams — both count the
+    same earlier/later partition of rows. Property-tested in
+    tests/test_prefix_salted.py."""
+    ts = order[0]
+    staged = w.withColumn("__bkt", F.floor(F.col(ts) / F.lit(bucket_ms)))
+    per_bucket = staged.groupBy(entity, "__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    w_cum = (
+        Window.partitionBy(entity)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = per_bucket.select(
+        entity, "__bkt", "__bn",
+        F.sum("__bn").over(w_cum).alias("__cum"),
+        *[
+            F.coalesce(
+                F.sum("__bn").over(
+                    Window.partitionBy(entity)
+                    .orderBy("__bkt")
+                    .rangeBetween(Window.unboundedPreceding, -(p + 1))
+                ),
+                F.lit(0),
+            ).alias(f"__older_{p}")
+            for p in periods
+        ],
+    )
+    w_in = (
+        Window.partitionBy(entity, "__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = staged.withColumn("__idx", F.count(F.lit(1)).over(w_in))
+    joined = rows.join(stats, [entity, "__bkt"], "left")
+    vec = F.array(*[
+        (F.col("__cum") - F.col("__bn") + F.col("__idx") - F.col(f"__older_{p}"))
+        for p in periods
+    ])
+    return joined.withColumn(out, vec).drop(
+        "__bkt", "__bn", "__cum", "__idx", *[f"__older_{p}" for p in periods]
+    )

@@ -72,6 +72,103 @@ def test_salted_ties_same_chunk(spark):
     assert got == {i: float(i - 1) for i in range(1, 8)}
 
 
+def _merged_like(spark, seed=17):
+    """A merged-scan-shaped frame: (entity, ts_ms, seq, __side) with two
+    write-value columns of different null patterns and types (double +
+    array) — hot entity carries most rows."""
+    rnd = random.Random(seed)
+    rows, seq = [], 0
+    def emit(ent, n):
+        nonlocal seq
+        for _ in range(n):
+            seq += 1
+            side = rnd.randrange(0, 2)
+            val = float(rnd.randrange(0, 9)) if side == 1 and rnd.random() < 0.7 else None
+            arr = [float(seq % 5), 1.0] if side == 1 and rnd.random() < 0.5 else None
+            rows.append((ent, T0 + rnd.randrange(0, 60 * DAY), seq, side, val, arr))
+    emit("hot", 500)
+    for u in range(15):
+        emit(f"u{u}", 25)
+    return spark.createDataFrame(
+        rows,
+        "entity string, ts_ms long, seq long, __side int, v double, a array<double>",
+    )
+
+
+def test_salted_strict_carry_equals_window(spark):
+    from metarank_spark.plans.prefix import salted_strict_last_carry
+
+    df = _merged_like(spark)
+    order = ("ts_ms", "seq", "__side")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = {
+        (r["entity"], r["seq"]): (r["cv"], tuple(r["ca"]) if r["ca"] else None)
+        for r in df.select(
+            "entity", "seq",
+            F.last("v", ignorenulls=True).over(w).alias("cv"),
+            F.last("a", ignorenulls=True).over(w).alias("ca"),
+        ).collect()
+    }
+    got_df = salted_strict_last_carry(df, ["v", "a"], "entity", order, chunk_ms=7 * DAY)
+    got = {
+        (r["entity"], r["seq"]): (
+            r["__carr_v"], tuple(r["__carr_a"]) if r["__carr_a"] else None
+        )
+        for r in got_df.collect()
+    }
+    assert got == exp
+    # and no event-scale window partitions by the bare entity
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_running_count_equals_window(spark):
+    from metarank_spark.plans.prefix import salted_running_count
+
+    df = _merged_like(spark).drop("v", "a")
+    order = ("ts_ms", "seq", "__side")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r["entity"], r["seq"]): r["cnt"]
+        for r in df.select(
+            "entity", "seq", F.count(F.lit(1)).over(w).alias("cnt")
+        ).collect()
+    }
+    got = {
+        (r["entity"], r["seq"]): r["cnt"]
+        for r in salted_running_count(df, "entity", order, chunk_ms=7 * DAY).collect()
+    }
+    assert got == exp
+
+
+def test_salted_period_counts_equal_range_formula(spark):
+    from metarank_spark.engine import FeatureEngine
+    from metarank_spark.plans.prefix import salted_monotone_period_counts
+
+    df = _merged_like(spark).drop("v", "a").withColumn("__side", F.lit(1))
+    periods = (3, 7, 30)
+    bucket = F.floor(F.col("ts_ms") / F.lit(DAY))
+    direct = df.withColumn(
+        "vec", FeatureEngine._monotone_period_counts(F.lit(1), bucket, periods)
+    )
+    exp = {
+        (r["entity"], r["seq"]): tuple(r["vec"]) for r in direct.collect()
+    }
+    got_df = salted_monotone_period_counts(
+        df, "entity", ("ts_ms", "seq", "__side"), DAY, periods
+    )
+    got = {(r["entity"], r["seq"]): tuple(r["vec"]) for r in got_df.collect()}
+    assert got == exp
+
+
 def test_salted_plan_partitions_by_chunk(spark):
     """The big window must partition by (entity, chunk) — a hot entity's
     timeline spreads across chunk tasks instead of one."""
