@@ -357,24 +357,46 @@ class FeatureEngine:
 
     def __init__(self, features: list[FeatureConfig],
                  late_types: frozenset[str] = frozenset({"impression"}),
-                 hot_chunk_ms: int | None = None):
+                 hot_chunk_ms: int | None = None,
+                 hot_entities: "list | None" = None):
         self.features = features
         self.late_types = late_types
+        self.hot_entities = list(hot_entities) if hot_entities else None
         # Hot-entity salting (the north star's "range-partitioned and
-        # salted by entity key"): when set, every event-scale per-entity
-        # window runs with (entity, floor(ts/hot_chunk_ms)) partitions and
-        # exact cross-chunk reassembly (plans/prefix.py) — the merged
-        # scan's as-of carry for ALL features, plus the counter and
-        # monotone periodic folds. A hot key's timeline then spreads over
-        # timeline/chunk tasks instead of pinning one. Output is
-        # bit-identical (tests/test_engine_salted.py). The anchored
-        # late-write periodic machinery and the pool features' last-N
-        # frames keep per-entity order (their state is an inherently
-        # sequential carry); their write streams are one interaction type,
-        # orders of magnitude sparser than the carry frame this salts.
+        # salted by entity key"): with hot_chunk_ms set, rows of the
+        # declared hot_entities run every event-scale per-entity window
+        # with (entity, floor(ts/hot_chunk_ms)) partitions and exact
+        # cross-chunk reassembly (plans/prefix.py) — the merged scan's
+        # as-of carry for ALL features, plus the counter and monotone
+        # periodic folds — while cold entities keep the plain windows and
+        # pay nothing. A hot key's timeline then spreads over
+        # timeline/chunk tasks instead of pinning one. With no declared
+        # set, every entity is salted (coarse key spaces). Output is
+        # bit-identical in all modes (tests/test_engine_salted.py). The
+        # anchored late-write periodic machinery and the pool features'
+        # last-N frames keep per-entity order (their state is an
+        # inherently sequential carry); their write streams are one
+        # interaction type, orders of magnitude sparser than the carry
+        # frame this salts.
         self.hot_chunk_ms = hot_chunk_ms
 
     # ---------------- write-time series builders ----------------
+
+    def _split_hot(self, w: DataFrame, plain_fn, salted_fn) -> DataFrame:
+        """Route rows of the declared hot entities through the salted
+        (chunk-partitioned, exactly-reassembled) fold and everything else
+        through the plain per-entity window; with hot_chunk_ms but no
+        declared set, salt every entity. Bit-identical either way."""
+        if not self.hot_chunk_ms:
+            return plain_fn(w)
+        if not self.hot_entities:
+            return salted_fn(w)
+        is_hot = F.coalesce(
+            F.col("entity").isin(self.hot_entities), F.lit(False)
+        )
+        return plain_fn(w.filter(~is_hot)).unionByName(
+            salted_fn(w.filter(is_hot))
+        )
 
     def _counter_fold(self, w: DataFrame) -> DataFrame:
         """Running count per entity over a (entity, ts_ms, seq) write
@@ -383,18 +405,26 @@ class FeatureEngine:
 
         if "__side" not in w.columns:
             w = w.withColumn("__side", F.lit(SIDE_WRITE))
-        if self.hot_chunk_ms:
+
+        def plain(df):
+            run = (
+                Window.partitionBy("entity")
+                .orderBy(*ORDER)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return df.select(
+                "entity", "ts_ms", "seq",
+                F.count(F.lit(1)).over(run).alias("cnt"),
+            )
+
+        def salted(df):
             from metarank_spark.plans.prefix import salted_running_count
 
             return salted_running_count(
-                w, "entity", ORDER, self.hot_chunk_ms
+                df, "entity", ORDER, self.hot_chunk_ms
             ).select("entity", "ts_ms", "seq", "cnt")
-        run = (
-            Window.partitionBy("entity")
-            .orderBy(*ORDER)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return w.select("entity", "ts_ms", "seq", F.count(F.lit(1)).over(run).alias("cnt"))
+
+        return self._split_hot(w, plain, salted)
 
     def _counter_series(self, events: DataFrame, interaction: str, scope: str) -> DataFrame:
         """CounterFeature write series: running count at each matching
@@ -476,16 +506,24 @@ class FeatureEngine:
             vec = self._anchored_period_counts(
                 F.lit(True), F.lit(1), bucket, periods, "entity"
             )
-        elif self.hot_chunk_ms:
-            from metarank_spark.plans.prefix import salted_monotone_period_counts
-
-            w = w.withColumn("__side", F.lit(SIDE_WRITE))
-            return salted_monotone_period_counts(
-                w, "entity", ORDER, bucket_ms, periods
-            ).select("entity", "ts_ms", "seq", "vec")
         else:
-            bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
-            vec = self._monotone_period_counts(F.lit(1), bucket, periods)
+            w = w.withColumn("__side", F.lit(SIDE_WRITE))
+
+            def plain(df):
+                bucket = F.floor(F.col("ts_ms") / F.lit(bucket_ms))
+                vec = self._monotone_period_counts(F.lit(1), bucket, periods)
+                return df.select("entity", "ts_ms", "seq", vec.alias("vec"))
+
+            def salted(df):
+                from metarank_spark.plans.prefix import (
+                    salted_monotone_period_counts,
+                )
+
+                return salted_monotone_period_counts(
+                    df, "entity", ORDER, bucket_ms, periods
+                ).select("entity", "ts_ms", "seq", "vec")
+
+            return self._split_hot(w, plain, salted)
         # the shared window helpers order by (ts_ms, seq, __side); on a
         # writes-only frame the side marker is a constant
         w = w.withColumn("__side", F.lit(SIDE_WRITE))
@@ -762,7 +800,17 @@ class FeatureEngine:
         out = {}
         for scope_key, cfgs in merged_groups.items():
             writes, feats = self._compile_scope_group(events, scope_key, cfgs)
-            out[scope_key] = _ws(writes, "entity", feats)
+            if self.hot_chunk_ms and self.hot_entities:
+                hot = F.coalesce(
+                    F.col("entity").isin(self.hot_entities), F.lit(False)
+                )
+                out[scope_key] = _ws(
+                    writes.filter(~hot), "entity", feats
+                ).unionByName(
+                    self._compose_hot_series(writes.filter(hot), feats)
+                )
+            else:
+                out[scope_key] = _ws(writes, "entity", feats)
         return out
 
     # ---------------- merged-scan compilation ----------------
@@ -791,6 +839,82 @@ class FeatureEngine:
             return f"{cfg.scope}::pool::{cfg.name}"
         return None
 
+    def _compose_hot_series(self, writes, feats):
+        """Write-value series for HOT entities with every unbounded
+        per-entity window decomposed. Rows are classed by interaction type
+        (classes are disjoint — one event carries one type); each class's
+        counter columns come from the salted builders over that class's
+        sub-frame — exact, because the masked merged-frame windows skip
+        other classes' rows anyway — window-free columns evaluate in
+        place, other classes' columns are null, and the class frames
+        union back into one series. Lateness-anchored legs keep their
+        per-entity sequential carry but run class-local (one interaction
+        type — far sparser than the merged frame). Pool groups (no
+        salt_specs) fall back to the generic fold: their windows are
+        bounded sliding frames, not unbounded aggregations."""
+        from metarank_spark.operators.merge import SIDE_WRITE
+        from metarank_spark.operators.merge import write_series as _ws
+        from metarank_spark.plans.prefix import (
+            salted_monotone_period_counts,
+            salted_running_count,
+        )
+
+        specs: dict[str, tuple] = {}
+        for f in feats:
+            specs.update(f.salt_specs or {})
+        if not specs:
+            return _ws(writes, "entity", feats)
+        exprs = {n: e for f in feats for n, e in f.write_cols.items()}
+        names = list(exprs)
+        gschema = _ws(writes, "entity", feats).schema
+        by_itype: dict[str, list] = {}
+        for n, spec in specs.items():
+            by_itype.setdefault(spec[1], []).append((n, spec))
+        w = writes.withColumn("__side", F.lit(SIDE_WRITE))
+        chunk = self.hot_chunk_ms
+        parts, covered = [], None
+        for itype, cols in by_itype.items():
+            pred = F.col(f"__f_{itype}") == 1
+            covered = pred if covered is None else (covered | pred)
+            sub = w.filter(pred)
+            have = set()
+            for n, spec in cols:
+                have.add(n)
+                if spec[0] == "count":
+                    sub = salted_running_count(sub, "entity", ORDER, chunk, out=n)
+                elif spec[0] == "periodic":
+                    sub = salted_monotone_period_counts(
+                        sub, "entity", ORDER, spec[3], spec[2], out=n)
+                else:  # anchored
+                    bucket = F.floor(
+                        F.coalesce(F.col("__vts"), F.col("ts_ms"))
+                        / F.lit(spec[3]))
+                    sub = sub.withColumn(n, self._anchored_period_counts(
+                        F.lit(True), F.lit(1), bucket, spec[2], "entity"))
+            parts.append(sub.select(
+                "entity", "ts_ms", "seq",
+                *[
+                    (F.col(n) if n in have
+                     else (F.lit(None).cast(gschema[n].dataType)
+                           if n in specs
+                           else exprs[n])).alias(n)
+                    for n in names
+                ],
+            ))
+        rest = w.filter(~F.coalesce(covered, F.lit(False)))
+        parts.append(rest.select(
+            "entity", "ts_ms", "seq",
+            *[
+                (F.lit(None).cast(gschema[n].dataType) if n in specs
+                 else exprs[n]).alias(n)
+                for n in names
+            ],
+        ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _run_scope_group(self, events, base, scope_key, cfgs, series=None):
         """Build the merged write+query stream for one scope and compute all
         of its features in a single sorted-partition pass. ``base`` rows
@@ -815,7 +939,27 @@ class FeatureEngine:
             return assemble_from_series(
                 queries, series, "entity", feats, qkeys,
                 salt_chunk_ms=self.hot_chunk_ms,
+                hot_entities=self.hot_entities,
             )
+        if self.hot_chunk_ms and self.hot_entities:
+            # hot keys: composed (decomposed-window) series + salted carry;
+            # cold keys: the untouched single-pass merged scan
+            from metarank_spark.operators.merge import assemble_from_series
+
+            hot = F.coalesce(
+                F.col("entity").isin(self.hot_entities), F.lit(False)
+            )
+            cold_out = run_merged(
+                queries.filter(~hot), writes.filter(~hot),
+                "entity", feats, qkeys,
+            )
+            hot_series = self._compose_hot_series(writes.filter(hot), feats)
+            hot_out = assemble_from_series(
+                queries.filter(hot), hot_series, "entity", feats, qkeys,
+                salt_chunk_ms=self.hot_chunk_ms,
+                hot_entities=self.hot_entities,
+            )
+            return cold_out.unionByName(hot_out)
         return run_merged(
             queries, writes, "entity", feats, qkeys,
             salt_chunk_ms=self.hot_chunk_ms,
@@ -900,7 +1044,10 @@ class FeatureEngine:
                     c[n].cast("double"), F.lit(0.0))
                 wc, fin = self._ttl_wrap(
                     cfg, wc, fin, {f"{cfg.name}__v": F.col(fl) == 1})
-                feats.append(MergedFeature(cfg.name, wc, fin))
+                feats.append(MergedFeature(
+                    cfg.name, wc, fin,
+                    salt_specs={f"{cfg.name}__v": ("count", cfg.interaction)},
+                ))
             elif isinstance(cfg, WindowCount):
                 fl = itype_flag(cfg.interaction)
                 vts = (
@@ -923,7 +1070,16 @@ class FeatureEngine:
                 ).otherwise(F.transform(c[n], lambda x: x.cast("double")))
                 wc, fin = self._ttl_wrap(
                     cfg, wc, fin, {f"{cfg.name}__v": F.col(fl) == 1})
-                feats.append(MergedFeature(cfg.name, wc, fin))
+                kind = (
+                    "anchored"
+                    if has_late and cfg.interaction in self.late_types
+                    else "periodic"
+                )
+                feats.append(MergedFeature(
+                    cfg.name, wc, fin,
+                    salt_specs={f"{cfg.name}__v": (
+                        kind, cfg.interaction, cfg.periods, cfg.bucket_ms)},
+                ))
             elif isinstance(cfg, Rate):
                 ft, fb = itype_flag(cfg.top), itype_flag(cfg.bottom)
                 vts = (
@@ -959,7 +1115,24 @@ class FeatureEngine:
                     f"{cfg.name}__t": F.col(ft) == 1,
                     f"{cfg.name}__b": F.col(fb) == 1,
                 })
-                feats.append(MergedFeature(cfg.name, wc, fin))
+
+                def leg_kind(itype):
+                    return (
+                        "anchored"
+                        if has_late and itype in self.late_types
+                        else "periodic"
+                    )
+                feats.append(MergedFeature(
+                    cfg.name, wc, fin,
+                    salt_specs={
+                        f"{cfg.name}__t": (
+                            leg_kind(cfg.top), cfg.top,
+                            cfg.periods, cfg.bucket_ms),
+                        f"{cfg.name}__b": (
+                            leg_kind(cfg.bottom), cfg.bottom,
+                            cfg.periods, cfg.bucket_ms),
+                    },
+                ))
             elif isinstance(cfg, (Stats, Freq, RecentItems)):
                 # pool windows run over the feature's OWN write stream
                 # (this group contains only this feature, see _merge_scope)

@@ -40,10 +40,17 @@ class MergedFeature:
       null on rows that are not this feature's writes — the mask).
     finish: carried-value columns (name → strictly-before carried Column)
       are handed back to build the feature's output expression.
+    salt_specs: per write-col decomposition recipe for hot-entity salting —
+      name → ("count", itype) | ("periodic", itype, periods, bucket_ms) |
+      ("anchored", itype, periods, bucket_ms). Columns absent from the map
+      are window-free on the merged frame (masks over payloads) and need
+      no decomposition. Filled by the engine's compiler; None disables the
+      composed hot series (generic write_series runs instead).
     """
     name: str
     write_cols: dict[str, Column]
     finish: "callable"
+    salt_specs: dict | None = None
 
 
 def run_merged(
@@ -53,9 +60,30 @@ def run_merged(
     features: list[MergedFeature],
     query_keys: list[str],
     salt_chunk_ms: int | None = None,
+    hot_entities: "list | None" = None,
 ) -> DataFrame:
     """queries: (entity, ts_ms, seq, *query_keys); writes: (entity, ts_ms,
     seq, *payload). Returns query rows + one column per feature."""
+    if salt_chunk_ms and hot_entities:
+        # Hot keys run the two-phase shape inline: the write-side window
+        # fold over their WRITES-ONLY frame (legal by the write_series
+        # query-row-insensitivity contract — interactions are orders of
+        # magnitude sparser than the merged frame), then the chunk-salted
+        # as-of carry over their event-scale frame. Cold keys keep the
+        # untouched single-pass merged scan; filters push to the scans,
+        # so neither branch re-evaluates the other's window work.
+        hot = F.coalesce(F.col(entity).isin(list(hot_entities)), F.lit(False))
+        cold_out = run_merged(
+            queries.filter(~hot), writes.filter(~hot), entity, features,
+            query_keys,
+        )
+        hot_series = write_series(writes.filter(hot), entity, features)
+        hot_out = assemble_from_series(
+            queries.filter(hot), hot_series, entity, features, query_keys,
+            salt_chunk_ms=salt_chunk_ms, hot_entities=hot_entities,
+        )
+        return cold_out.unionByName(hot_out)
+
     payload = [c for c in writes.columns if c not in (entity, "ts_ms", "seq")]
 
     q = queries.select(
@@ -80,7 +108,8 @@ def run_merged(
     inter = merged.select("*", *[
         expr.alias(n) for f in features for n, expr in f.write_cols.items()
     ])
-    return _carry_and_finish(inter, entity, features, query_keys, salt_chunk_ms)
+    return _carry_and_finish(inter, entity, features, query_keys,
+                             salt_chunk_ms, hot_entities)
 
 
 def _carry_and_finish(
@@ -89,35 +118,54 @@ def _carry_and_finish(
     features: list[MergedFeature],
     query_keys: list[str],
     salt_chunk_ms: int | None = None,
+    hot_entities: "list | None" = None,
 ) -> DataFrame:
     """Shared tail of the merged scan: carry the latest strictly-before
     write value to each query row and apply each feature's finish expr.
 
-    ``salt_chunk_ms``: when set, the carry runs with (entity, time-chunk)
-    window partitions (plans/prefix.salted_strict_last_carry) so a hot
-    entity's merged timeline spreads over timeline/chunk_ms tasks — the
-    exact-reassembly salting of the north star's "range-partitioned and
-    salted by entity key". Output is bit-identical either way."""
+    ``salt_chunk_ms`` + ``hot_entities``: rows of the declared hot keys
+    run the carry with (entity, time-chunk) window partitions and exact
+    cross-chunk reassembly (plans/prefix.salted_strict_last_carry, offsets
+    broadcast), every other entity keeps the plain single-window carry —
+    the north star's "range-partitioned and salted by entity key" applied
+    only where the skew is, so cold data pays nothing. With
+    ``salt_chunk_ms`` alone every entity is salted (useful when the whole
+    key space is coarse). Output is bit-identical in all three modes."""
     all_write_names = [n for f in features for n in f.write_cols]
-    if salt_chunk_ms:
-        from metarank_spark.plans.prefix import salted_strict_last_carry
 
-        carried = salted_strict_last_carry(
-            inter, all_write_names, entity, ORDER, salt_chunk_ms
-        )
-    else:
+    def plain(df: DataFrame) -> DataFrame:
         strict = (
             Window.partitionBy(entity)
             .orderBy(*ORDER)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carried = inter.select(
+        return df.select(
             "*",
             *[
                 F.last(F.col(n), ignorenulls=True).over(strict).alias(f"__carr_{n}")
                 for n in all_write_names
             ],
         )
+
+    def salted(df: DataFrame, broadcast: bool) -> DataFrame:
+        from metarank_spark.plans.prefix import salted_strict_last_carry
+
+        return salted_strict_last_carry(
+            df, all_write_names, entity, ORDER, salt_chunk_ms,
+            broadcast_offsets=broadcast,
+        )
+
+    if salt_chunk_ms and hot_entities:
+        is_hot = F.coalesce(
+            F.col(entity).isin(list(hot_entities)), F.lit(False)
+        )
+        carried = plain(inter.filter(~is_hot)).unionByName(
+            salted(inter.filter(is_hot), broadcast=True)
+        )
+    elif salt_chunk_ms:
+        carried = salted(inter, broadcast=False)
+    else:
+        carried = plain(inter)
     out = carried.filter(F.col("__side") == SIDE_QUERY)
     feature_cols = [
         f.finish({n: F.col(f"__carr_{n}") for n in f.write_cols}).alias(f.name)
@@ -160,6 +208,7 @@ def assemble_from_series(
     features: list[MergedFeature],
     query_keys: list[str],
     salt_chunk_ms: int | None = None,
+    hot_entities: "list | None" = None,
 ) -> DataFrame:
     """Phase B: attach features to query rows from a pre-computed
     write-value series (write_series output — typically read back from
@@ -190,7 +239,8 @@ def assemble_from_series(
         *[F.col(n) for n in all_write_names],
     )
     merged = q.unionByName(w)
-    return _carry_and_finish(merged, entity, features, query_keys, salt_chunk_ms)
+    return _carry_and_finish(merged, entity, features, query_keys,
+                             salt_chunk_ms, hot_entities)
 
 
 # ---------- frame helpers usable inside write_cols ----------

@@ -92,6 +92,7 @@ def salted_strict_last_carry(
     order: tuple[str, ...],
     chunk_ms: int,
     out_prefix: str = "__carr_",
+    broadcast_offsets: bool = False,
 ) -> DataFrame:
     """``last(col, ignorenulls=True) OVER (PARTITION BY entity ORDER BY
     order ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` for every name in
@@ -119,22 +120,19 @@ def salted_strict_last_carry(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # chunk-final value via a FULL-frame last (works for non-orderable
-    # types where a max_by(struct) trick would not), then one row per
-    # chunk with any_value — all rows of the group carry the same value
-    w_all = (
-        Window.partitionBy(entity, "__salt")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     within = staged.select(
         "*",
         *[F.last(F.col(n), ignorenulls=True).over(w_in).alias(f"__in_{n}") for n in cols],
-        *[F.last(F.col(n), ignorenulls=True).over(w_all).alias(f"__cf_{n}") for n in cols],
     )
-    finals = within.groupBy(entity, "__salt").agg(
-        *[F.any_value(F.col(f"__cf_{n}")).alias(f"__f_{n}") for n in cols]
-    )
+    # chunk-final non-null value per column: max_by over the order-prefix
+    # position — max_by skips rows whose ordinal is null (our null-value
+    # rows) and puts NO orderability requirement on the value itself, so
+    # map-typed columns work. One aggregate row per (entity, chunk).
+    pos = F.struct(*[F.col(o) for o in order])
+    finals = staged.groupBy(entity, "__salt").agg(*[
+        F.max_by(F.col(n), F.when(F.col(n).isNotNull(), pos)).alias(f"__f_{n}")
+        for n in cols
+    ])
     w_off = (
         Window.partitionBy(entity)
         .orderBy("__salt")
@@ -148,6 +146,11 @@ def salted_strict_last_carry(
             for n in cols
         ],
     )
+    # one row per (entity, chunk) — for a declared-hot-entity subset this
+    # is tiny (|hot| × timeline/chunk): broadcast it and the event-scale
+    # side needs no exchange beyond its own chunk window
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     joined = within.join(offsets, [entity, "__salt"], "left")
     out = joined.select(
         "*",
@@ -156,7 +159,7 @@ def salted_strict_last_carry(
             for n in cols
         ],
     )
-    drop = ["__salt"] + [p + n for n in cols for p in ("__in_", "__cf_", "__off_")]
+    drop = ["__salt"] + [p + n for n in cols for p in ("__in_", "__off_")]
     return out.drop(*drop)
 
 

@@ -63,6 +63,23 @@ def test_ranking_values_salted_identical(spark):
     assert "__salt" in plan  # the carry runs chunk-partitioned
 
 
+def test_declared_hot_split_identical(spark):
+    """hot_entities + hot_chunk_ms: only the declared keys run salted,
+    cold entities keep the plain windows — output still bit-identical,
+    and both carry shapes appear in the plan."""
+    rows = gen_events(13, n_events=220)
+    ev = events_df(spark, rows)
+    plain = _rows(FeatureEngine(FEATURES()).ranking_values(ev))
+    eng = FeatureEngine(
+        FEATURES(), hot_chunk_ms=3 * DAY,
+        hot_entities=["u0", "u1", "p2"],  # user + item scope keys mixed
+    )
+    salted_df = eng.ranking_values(ev)
+    assert _rows(salted_df) == plain
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
 def test_two_phase_salted_identical(spark):
     rows = gen_events(23, n_events=200)
     ev = events_df(spark, rows)
