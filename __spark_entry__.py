@@ -576,6 +576,91 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 32
+PACK_BUDGET = 256
+
+
+def q_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking — split each document's token sequence into
+    sliding windows of CHUNK_WINDOW ids at CHUNK_STRIDE offsets (the
+    standard LLM pretraining chunker; last partial window kept). Pure
+    per-row HOF compute + explode: linear, shuffle-free, embarrassingly
+    parallel at any scale."""
+    seq = tx.tokenized_sequences(spark, sf)
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE))
+    return (
+        seq.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id", "source", "tokens", "n_tok",
+            F.posexplode(starts).alias("chunk_id", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.transform(
+                    F.slice("tokens", F.col("s") + 1, F.lit(CHUNK_WINDOW)),
+                    lambda t: t.cast("string"),
+                ),
+                " ",
+            ).alias("chunk_str"),
+            F.least(F.lit(CHUNK_WINDOW), F.col("n_tok") - F.col("s"))
+            .cast("long").alias("chunk_len"),
+            "source",
+        )
+    )
+
+
+def q_rep_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality: the fraction of a document's
+    token bigrams taken by its single most frequent bigram (high value =
+    repetitive boilerplate). explode → two-level hash agg — map-side
+    partials absorb any hot document; no windows, no joins. The ratio is
+    an IEEE-exact integer division (no rounding needed)."""
+    seq = tx.tokenized_sequences(spark, sf).filter(F.col("n_tok") >= 2)
+    bg = seq.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tok") - 2),
+                lambda i: F.concat_ws(
+                    "_",
+                    F.get("tokens", i).cast("string"),
+                    F.get("tokens", i + 1).cast("string"),
+                ),
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("doc_id", "bg").count()
+    return counts.groupBy("doc_id").agg(
+        (F.max("count") / F.sum("count")).alias("top_bigram_frac"),
+        F.sum("count").cast("long").alias("n_bigrams"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing: lay each source's documents end-to-end
+    in doc_id order and cut PACK_BUDGET-token training sequences at fixed
+    token offsets (seq_id = token_offset div budget). One partitioned
+    running sum per source — the same prefix shape the engine salts for
+    hot entities (plans/prefix.py) if one source ever dominates."""
+    seq = tx.tokenized_sequences(spark, sf)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").cast("long"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    packed = seq.withColumn("off", off).select(
+        "source", "n_tok",
+        F.expr(f"off div {PACK_BUDGET}").alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("seq_tokens"),
+    )
+
+
 EMB_DEDUP_THRESHOLD = 0.15
 EMB_DEDUP_MAX_BUCKET = 20
 
@@ -983,6 +1068,38 @@ _TEXT_ORACLES: dict[str, str] = {
           sum(len(tokens))::BIGINT AS total_tokens,
           round(avg(len(tokens)), 6) AS avg_tokens
         FROM seq GROUP BY source""",
+    "chunk_tokens": f"""{SEQ},
+        ch AS (
+          SELECT doc_id, source, tokens, len(tokens) AS n,
+                 unnest(range(0, len(tokens), {CHUNK_STRIDE})) AS s
+          FROM seq WHERE len(tokens) > 0)
+        SELECT doc_id, (s / {CHUNK_STRIDE})::BIGINT AS chunk_id,
+          array_to_string(list_slice(tokens, s + 1,
+                                     least(s + {CHUNK_WINDOW}, n)), ' ')
+            AS chunk_str,
+          least({CHUNK_WINDOW}, n - s)::BIGINT AS chunk_len, source
+        FROM ch""",
+    "rep_ngram": f"""{SEQ},
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(tokens) - 1),
+                   i -> tokens[i + 1]::VARCHAR || '_' || tokens[i + 2]::VARCHAR))
+                   AS bg
+          FROM seq WHERE len(tokens) >= 2),
+        c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+        SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_bigram_frac,
+               sum(cnt)::BIGINT AS n_bigrams
+        FROM c GROUP BY doc_id""",
+    "pack_sequences": f"""{SEQ},
+        p AS (
+          SELECT source, len(tokens) AS n_tok,
+            coalesce(sum(len(tokens)) OVER (
+              PARTITION BY source ORDER BY doc_id::BIGINT
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM seq)
+        SELECT source, (off // {PACK_BUDGET})::BIGINT AS seq_id,
+          count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS seq_tokens
+        FROM p GROUP BY 1, 2""",
 }
 
 _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1006,6 +1123,9 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "vector_reduce": q_vector_reduce,
     "source_stats": q_source_stats,
+    "chunk_tokens": q_chunk_tokens,
+    "rep_ngram": q_rep_ngram,
+    "pack_sequences": q_pack_sequences,
 }
 
 
