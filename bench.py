@@ -40,6 +40,8 @@ HEADLINE = [
     "freq_share_sampled",
     "token_stats",
     "bm25",
+    "chunk_tokens",
+    "pack_sequences",
 ]
 
 
