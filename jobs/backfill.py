@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="salt per-entity windows by floor(ts/chunk) with "
                          "exact reassembly — spreads a hot entity's "
                          "timeline over timeline/chunk tasks (0 = off)")
+    ap.add_argument("--hot-auto-share", type=float, default=0.0,
+                    help="with --hot-chunk-ms: detect hot entities holding "
+                         "at least this share of events (sampled "
+                         "heavy-hitter scan) instead of salting every key")
     ap.add_argument("--materialize-series", action="store_true",
                     help="two-phase: fold each scope group's write-value series once, "
                          "then run assembly-only per range")
@@ -107,18 +111,29 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("need --events or --synthetic-users")
 
+    hot_entities = None
+    if args.hot_chunk_ms and args.hot_auto_share:
+        from metarank_spark.plans.prefix import detect_hot_entities
+
+        hot_entities = detect_hot_entities(
+            events, args.entity, min_share=args.hot_auto_share
+        ) or None
+        print(json.dumps({"hot_entities": hot_entities}))
+
     if args.config:
         from metarank_spark.config import load_config
 
         engine = FeatureEngine(load_config(args.config).features,
-                               hot_chunk_ms=args.hot_chunk_ms or None)
+                               hot_chunk_ms=args.hot_chunk_ms or None,
+                               hot_entities=hot_entities)
     else:
         spec = DEFAULT_FEATURES
         if args.features:
             with open(args.features) as fh:
                 spec = json.load(fh)
         engine = FeatureEngine(parse_features(spec),
-                               hot_chunk_ms=args.hot_chunk_ms or None)
+                               hot_chunk_ms=args.hot_chunk_ms or None,
+                               hot_entities=hot_entities)
 
     completed = backfill(
         events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,

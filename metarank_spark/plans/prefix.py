@@ -264,3 +264,36 @@ def salted_monotone_period_counts(
     return joined.withColumn(out, vec).drop(
         "__bkt", "__bn", "__cum", "__idx", *[f"__older_{p}" for p in periods]
     )
+
+
+def detect_hot_entities(
+    df: DataFrame,
+    entity: str,
+    min_share: float = 0.01,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+    max_keys: int = 64,
+) -> list:
+    """Sampled heavy-hitter scan: entity keys holding at least
+    ``min_share`` of rows, estimated from a Bernoulli sample — feed the
+    result to FeatureEngine(hot_entities=...). A key macroscopic enough
+    to skew a window stage is by definition massively oversampled at any
+    fraction (expected sample count = share × n × fraction), so a 1%
+    sample finds a 1% key in a 10^9-row table with ~10^5 sampled rows of
+    evidence; tiny keys never survive the share filter. One aggregation
+    over the sample, map-side partials absorb the hot key itself; capped
+    at ``max_keys`` (an isin() filter and a broadcast offsets frame both
+    want a small set)."""
+    sampled = df.select(entity).sample(fraction=sample_fraction, seed=seed)
+    n = sampled.count()
+    if n == 0:
+        return []
+    rows = (
+        sampled.groupBy(entity)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= n * min_share)
+        .orderBy(F.col("__n").desc(), F.col(entity))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[entity] for r in rows if r[entity] is not None]

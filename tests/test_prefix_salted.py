@@ -175,3 +175,18 @@ def test_salted_plan_partitions_by_chunk(spark):
     df = _events(spark)
     plan = salted_cumulative_sum(df, F.col("value"))._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # chunk key participates in the partitioning
+
+
+def test_detect_hot_entities(spark):
+    """The sampled heavy-hitter scan finds the macroscopic key and only
+    it — small keys never cross the share filter even at full sampling."""
+    from metarank_spark.plans.prefix import detect_hot_entities
+
+    df = _events(spark)  # u_hot holds 60% of rows
+    got = detect_hot_entities(df, "user_id", min_share=0.2, sample_fraction=1.0)
+    assert got == ["u_hot"]
+    # 1% share threshold at a 50% sample still isolates the heavy key
+    # far above the uniform background (20 users x 20 rows each)
+    got = detect_hot_entities(df, "user_id", min_share=0.3, sample_fraction=0.5)
+    assert got == ["u_hot"]
+    assert detect_hot_entities(df.limit(0), "user_id") == []
