@@ -676,6 +676,15 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """int8-quantized ANN: symmetric per-vector scalar quantization
+    (floor(x*127/max|x|)) + exact integer dot-product ranking — the 4x
+    memory-bandwidth variant of brute-force search; scores are int64 so
+    the ordering is bit-stable across engines."""
+    emb = load_embeddings(spark, sf)
+    return sim.quantized_topk(emb, k=5)
+
+
 DECON_BENCH_IDS = ("0", "1", "2")
 
 
@@ -1090,6 +1099,25 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_bigram_frac,
                sum(cnt)::BIGINT AS n_bigrams
         FROM c GROUP BY doc_id""",
+    "ann_quantized": """
+        WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+        qz AS (SELECT vec_id,
+               list_transform(v, x -> floor(
+                 x * coalesce(127.0 / nullif(
+                   list_max(list_transform(v, y -> abs(y))), 0), 0))::BIGINT)
+               AS qv
+             FROM e),
+        q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+               list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> qv[i] * qq[i]))::BIGINT AS score
+             FROM qz, q)
+        SELECT vec_id, score, rank FROM
+          (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT
+             AS rank FROM s)
+        WHERE rank <= 5""",
     "pack_sequences": f"""{SEQ},
         p AS (
           SELECT source, len(tokens) AS n_tok,
@@ -1126,6 +1154,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_tokens": q_chunk_tokens,
     "rep_ngram": q_rep_ngram,
     "pack_sequences": q_pack_sequences,
+    "ann_quantized": q_ann_quantized,
 }
 
 

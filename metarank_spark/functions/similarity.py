@@ -222,3 +222,42 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_expr(vec: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization: q_i =
+    floor(x_i * 127 / max|x|) in [-127, 127] — the memory-bandwidth play
+    for warehouse-scale ANN (4x smaller vectors, integer dot products).
+    All arithmetic is double-precision IEEE with a floor, so Spark and a
+    SQL engine produce byte-identical codes from the same float32 input;
+    the all-zero vector quantizes to all zeros."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.coalesce(F.lit(127.0) / F.nullif(mx, F.lit(0.0)), F.lit(0.0))
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def quantized_dot_expr(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors — exact int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product vs one stored vector: quantize
+    per row (no shuffle), broadcast the query codes, rank the exact
+    integer scores via TakeOrderedAndProject. The integer score makes the
+    ordering bit-stable across engines — no float summation-order issues."""
+    qz = df.select(id_col, quantize_expr(F.col(vec)).alias("qv"))
+    query = qz.filter(F.col(id_col) == query_id).select(F.col("qv").alias("qq"))
+    joined = qz.join(F.broadcast(query))
+    score = quantized_dot_expr(F.col("qv"), F.col("qq"))
+    return rank_topk(joined.select(F.col(id_col), score.alias("score")), k, id_col)
