@@ -244,6 +244,36 @@ def q_bounded_list(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(df, "recent")
 
 
+def q_interacted_with(spark: SparkSession, sf: str) -> DataFrame:
+    """InteractedWith analog over the driver stream (engine.py
+    InteractedWith; feature/InteractedWithFeature.scala two-stage read):
+    the user's bounded list of last-3 clicked `props.k` values strictly
+    before each view, and the multiset overlap with the view's own k.
+    One window pass on the user partition — the visitor-profile read of
+    the reference expressed as a strict collect + slice, no join."""
+    ev = load_events(spark, sf, with_props=True)
+    k = F.get_json_object("props", "$.k")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = F.collect_list(F.when(F.col("event_type") == "click", k)).over(w)
+    d = ev.select(
+        "event_id", "user_id", "ts_ms", "event_type",
+        k.alias("k"), arr.alias("ks"),
+    )
+    last3 = F.when(F.size("ks") <= 3, F.col("ks")).otherwise(
+        F.slice("ks", F.size("ks") - 2, 3)
+    )
+    return d.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_ms",
+        F.array_join(last3, ",").alias("recent_ks"),
+        F.size(F.filter(last3, lambda x: x == F.col("k")))
+        .cast("long").alias("overlap"),
+    )
+
+
 def q_stats_window(spark: SparkSession, sf: str) -> DataFrame:
     """StatsEstimator over a 10-sample pool of purchase values
     (model/Feature.scala:213-234, sampleRate pinned to 1)."""
@@ -1310,6 +1340,24 @@ _ORACLES: dict[str, str] = {
             CASE WHEN lag(ts_ms,2) OVER w >= ts_ms - {MS_DAY} THEN lag(event_type,2) OVER w END
           ) AS recent
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""",
+    "interacted_with": f"""
+        WITH ev AS (SELECT event_id::BIGINT AS event_id, epoch_ms(ts) AS ts_ms,
+                user_id::BIGINT AS user_id, event_type,
+                json_extract_string(props, '$.k') AS k
+              FROM events),
+        l AS (SELECT *, coalesce(list(k) FILTER (
+                WHERE event_type='click' AND k IS NOT NULL) OVER (
+                PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                []::VARCHAR[]) AS ks
+              FROM ev),
+        t AS (SELECT *, CASE WHEN len(ks) <= 3 THEN ks
+                ELSE list_slice(ks, len(ks) - 2, len(ks)) END AS last3
+              FROM l)
+        SELECT event_id, user_id, ts_ms,
+          coalesce(array_to_string(last3, ','), '') AS recent_ks,
+          len(list_filter(last3, x -> x = k))::BIGINT AS overlap
+        FROM t WHERE event_type='view'""",
     "stats_window": f"""
         {EV}, p AS (SELECT * FROM ev WHERE event_type='purchase')
         SELECT {KEYS},
@@ -1412,6 +1460,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_snapshot": q_asof_snapshot,
     "asof_join": q_asof_join,
     "bounded_list": q_bounded_list,
+    "interacted_with": q_interacted_with,
     "stats_window": q_stats_window,
     "stats_percentile": q_stats_percentile,
     "freq_share": q_freq_share,
