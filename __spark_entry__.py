@@ -244,6 +244,42 @@ def q_bounded_list(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(df, "recent")
 
 
+def q_rank_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-eval metrics over the driver stream — NDCG@10 and MRR per
+    user, with ltrlib semantics (the reference's eval library,
+    LambdaMARTRanker.scala:116-122: gain 2^rel - 1 ≡ rel for binary
+    labels, log2(pos+1) discount, nolabels → 1.0): candidates = the
+    user's view/click events ranked by `value` (the score analog),
+    relevant = clicks. Two same-partition windows + one grouped
+    aggregation — a single user-hash exchange at any scale."""
+    ev = load_events(spark, sf).filter(F.col("event_type").isin("view", "click"))
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wi = Window.partitionBy("user_id").orderBy(F.col("rel").desc(), "event_id")
+    d = ev.select(
+        "user_id", "event_id",
+        (F.col("event_type") == "click").cast("double").alias("rel"),
+        "value",
+    ).select(
+        "user_id", "event_id", "rel",
+        F.row_number().over(w).alias("pos"),
+    ).select(
+        "user_id", "rel", "pos",
+        F.row_number().over(wi).alias("ipos"),
+    )
+    dcg = F.sum(F.when(F.col("pos") <= 10, F.col("rel") / F.log2(F.col("pos") + 1)))
+    idcg = F.sum(F.when(F.col("ipos") <= 10, F.col("rel") / F.log2(F.col("ipos") + 1)))
+    first_rel = F.min(F.when(F.col("rel") == 1.0, F.col("pos")))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.when(idcg.isNull() | (idcg == 0), F.lit(1.0))
+            .otherwise(F.coalesce(dcg, F.lit(0.0)) / idcg),
+            6,
+        ).alias("ndcg10"),
+        F.round(F.coalesce(F.lit(1.0) / first_rel, F.lit(0.0)), 6).alias("mrr"),
+    )
+
+
 def q_interacted_with(spark: SparkSession, sf: str) -> DataFrame:
     """InteractedWith analog over the driver stream (engine.py
     InteractedWith; feature/InteractedWithFeature.scala two-stage read):
@@ -1340,6 +1376,31 @@ _ORACLES: dict[str, str] = {
             CASE WHEN lag(ts_ms,2) OVER w >= ts_ms - {MS_DAY} THEN lag(event_type,2) OVER w END
           ) AS recent
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""",
+    "rank_eval": f"""
+        WITH ev AS (SELECT event_id::BIGINT AS event_id,
+                user_id::BIGINT AS user_id, event_type, value
+              FROM events WHERE event_type IN ('view', 'click')),
+        r AS (SELECT user_id,
+                CASE WHEN event_type='click' THEN 1.0 ELSE 0.0 END AS rel,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY value DESC, event_id) AS pos,
+                event_id
+              FROM ev),
+        ri AS (SELECT user_id, rel, pos,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY rel DESC, event_id) AS ipos
+               FROM r)
+        SELECT user_id, count(*)::BIGINT AS n_items,
+          round(CASE
+            WHEN sum(CASE WHEN ipos <= 10 THEN rel / log2(ipos + 1) END)
+                 IS NULL THEN 1.0
+            ELSE coalesce(sum(CASE WHEN pos <= 10
+                     THEN rel / log2(pos + 1) END), 0)
+                 / sum(CASE WHEN ipos <= 10 THEN rel / log2(ipos + 1) END)
+          END, 6) AS ndcg10,
+          round(coalesce(1.0 / min(CASE WHEN rel = 1.0 THEN pos END), 0), 6)
+            AS mrr
+        FROM ri GROUP BY user_id""",
     "interacted_with": f"""
         WITH ev AS (SELECT event_id::BIGINT AS event_id, epoch_ms(ts) AS ts_ms,
                 user_id::BIGINT AS user_id, event_type,
@@ -1461,6 +1522,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "bounded_list": q_bounded_list,
     "interacted_with": q_interacted_with,
+    "rank_eval": q_rank_eval,
     "stats_window": q_stats_window,
     "stats_percentile": q_stats_percentile,
     "freq_share": q_freq_share,
