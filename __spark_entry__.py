@@ -805,6 +805,35 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dd.connected_components(pairs, ids)
 
 
+def q_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-survivor selection — the step after clustering in a real
+    curation pipeline: per near-dup cluster keep the LONGEST document
+    (most tokens), ties to the smallest doc_id. Two grouped aggregations
+    over the cluster frame; integer keep-scores make the choice
+    bit-stable across engines."""
+    seq = tx.tokenized_sequences(spark, sf)
+    pairs = dd.minhash_lsh_pairs(seq, threshold=0.1)
+    clusters = dd.connected_components(pairs, seq.select("doc_id"))
+    j = clusters.join(seq.select("doc_id", "n_tok"), "doc_id")
+    m = j.groupBy("cluster_id").agg(F.max("n_tok").alias("__mx"))
+    return (
+        j.join(m, "cluster_id")
+        .filter(F.col("n_tok") == F.col("__mx"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .join(
+            clusters.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("cluster_size")
+            ),
+            "cluster_id",
+        )
+        .select(
+            "cluster_id", "keep_id", "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_dups"),
+        )
+    )
+
+
 def q_vector_reduce(spark: SparkSession, sf: str) -> DataFrame:
     """vector extractor reducers min/max/avg/size
     (NumVectorFeature.scala:28,192)."""
@@ -1047,6 +1076,24 @@ _TEXT_ORACLES: dict[str, str] = {
         FROM documents""",
     "dedup_minhash": _minhash_sql(0.1),
     "dedup_clusters": _dedup_clusters_sql(0.1),
+    "dedup_keep": f"""
+        WITH c AS ({_dedup_clusters_sql(0.1)}),
+        n AS (SELECT doc_id::VARCHAR AS doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents),
+        j AS (SELECT c.cluster_id, c.doc_id, n.n_tok
+              FROM c JOIN n USING (doc_id)),
+        m AS (SELECT cluster_id, max(n_tok) AS mx FROM j GROUP BY 1),
+        k AS (SELECT j.cluster_id, min(j.doc_id) AS keep_id
+              FROM j JOIN m ON j.cluster_id = m.cluster_id
+                            AND j.n_tok = m.mx
+              GROUP BY 1),
+        s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM c GROUP BY 1)
+        SELECT k.cluster_id, k.keep_id, s.cluster_size,
+          (s.cluster_size - 1)::BIGINT AS n_dups
+        FROM k JOIN s USING (cluster_id)""",
     "decontaminate": f"""{SEQ},
         sh AS (SELECT doc_id, CASE WHEN len(tokens) >= 3
                  THEN list_distinct(list_transform(range(0, len(tokens)-2),
@@ -1204,6 +1251,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
     "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "term_match": q_term_match,
