@@ -372,12 +372,11 @@ class FeatureEngine:
         # pay nothing. A hot key's timeline then spreads over
         # timeline/chunk tasks instead of pinning one. With no declared
         # set, every entity is salted (coarse key spaces). Output is
-        # bit-identical in all modes (tests/test_engine_salted.py). The
-        # anchored late-write periodic machinery and the pool features'
-        # last-N frames keep per-entity order (their state is an
-        # inherently sequential carry); their write streams are one
-        # interaction type, orders of magnitude sparser than the carry
-        # frame this salts.
+        # bit-identical in all modes (tests/test_engine_salted.py).
+        # Counter, monotone periodic AND lateness-anchored folds are all
+        # decomposed; only the pool features' bounded last-N frames keep
+        # per-entity order (bounded sliding state, one sparse interaction
+        # stream).
         self.hot_chunk_ms = hot_chunk_ms
 
     # ---------------- write-time series builders ----------------
@@ -497,12 +496,29 @@ class FeatureEngine:
 
         late = "vts_ms" in w.columns
         if late:
-            # the anchored machinery is an inherently sequential carry
-            # (running max + last-at-max); it keeps per-entity order even
-            # under hot-entity salting — see FeatureEngine.__init__
             bucket = F.floor(
                 F.coalesce(F.col("vts_ms"), F.col("ts_ms")) / F.lit(bucket_ms)
             )
+            if self.hot_chunk_ms:
+                from metarank_spark.plans.prefix import (
+                    salted_anchored_period_counts,
+                )
+
+                w = w.withColumn("__side", F.lit(SIDE_WRITE))
+
+                def plain_a(df):
+                    vec = self._anchored_period_counts(
+                        F.lit(True), F.lit(1), bucket, periods, "entity"
+                    )
+                    return df.select("entity", "ts_ms", "seq", vec.alias("vec"))
+
+                def salted_a(df):
+                    return salted_anchored_period_counts(
+                        df, "entity", ORDER, bucket_ms, periods,
+                        self.hot_chunk_ms, bucket,
+                    ).select("entity", "ts_ms", "seq", "vec")
+
+                return self._split_hot(w, plain_a, salted_a)
             vec = self._anchored_period_counts(
                 F.lit(True), F.lit(1), bucket, periods, "entity"
             )
@@ -885,12 +901,17 @@ class FeatureEngine:
                 elif spec[0] == "periodic":
                     sub = salted_monotone_period_counts(
                         sub, "entity", ORDER, spec[3], spec[2], out=n)
-                else:  # anchored
+                else:  # anchored — decomposed too (prefix.py)
+                    from metarank_spark.plans.prefix import (
+                        salted_anchored_period_counts,
+                    )
+
                     bucket = F.floor(
                         F.coalesce(F.col("__vts"), F.col("ts_ms"))
                         / F.lit(spec[3]))
-                    sub = sub.withColumn(n, self._anchored_period_counts(
-                        F.lit(True), F.lit(1), bucket, spec[2], "entity"))
+                    sub = salted_anchored_period_counts(
+                        sub, "entity", ORDER, spec[3], spec[2],
+                        chunk, bucket, out=n)
             parts.append(sub.select(
                 "entity", "ts_ms", "seq",
                 *[

@@ -297,3 +297,117 @@ def detect_hot_entities(
         .collect()
     )
     return [r[entity] for r in rows if r[entity] is not None]
+
+
+def salted_running_max(
+    df: DataFrame,
+    col: str,
+    entity: str,
+    order: tuple[str, ...],
+    chunk_ms: int,
+    out: str,
+) -> DataFrame:
+    """Inclusive running max of ``col`` per entity with (entity,
+    time-chunk) partitions: greatest(within-chunk running max, max of all
+    earlier chunks). Max is associative, so the chunk split is exact."""
+    ts = order[0]
+    staged = df.withColumn("__salt", F.floor(F.col(ts) / F.lit(chunk_ms)))
+    w_in = (
+        Window.partitionBy(entity, "__salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = staged.withColumn("__w", F.max(F.col(col)).over(w_in))
+    totals = staged.groupBy(entity, "__salt").agg(F.max(F.col(col)).alias("__t"))
+    w_off = (
+        Window.partitionBy(entity)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        entity, "__salt", F.max("__t").over(w_off).alias("__o")
+    )
+    joined = within.join(offsets, [entity, "__salt"], "left")
+    return joined.withColumn(
+        out,
+        F.when(F.col("__o").isNull(), F.col("__w"))
+        .otherwise(F.greatest(F.col("__w"), F.col("__o"))),
+    ).drop("__salt", "__w", "__t", "__o")
+
+
+def salted_anchored_period_counts(
+    w: DataFrame,
+    entity: str,
+    order: tuple[str, ...],
+    bucket_ms: int,
+    periods: tuple[int, ...],
+    chunk_ms: int,
+    bucket: Column,
+    out: str = "vec",
+) -> DataFrame:
+    """Exact anchored PeriodicCounter vector under bounded-late writes
+    (engine._anchored_period_counts) with every unbounded per-entity
+    window decomposed. On a writes-only frame (every row is a write) the
+    anchored element simplifies:
+
+        a_i     = running max bucket                  (salted running max)
+        cnt_i   = running row count                   (salted prefix count)
+        older_p = #rows with bucket <= b_i - p - 1    (per-bucket totals +
+                  a bucket-level RANGE prefix — one row per entity-day,
+                  joined back on (entity, bucket))
+        base    = std - cnt = (cnt - older_p) - cnt = -older_p
+                  masked to at-max rows (bucket == a)
+        element = last(base, ignorenulls) + cnt       (salted strict carry)
+
+    Each piece is the exact chunk decomposition of the corresponding
+    window in the sequential formula, so the result is bit-identical
+    (tests/test_prefix_salted.py) while a hot entity's anchored fold
+    spreads over timeline/chunk tasks."""
+    staged = w.withColumn("__bkt", bucket)
+    staged = salted_running_count(staged, entity, order, chunk_ms, out="__cnt")
+    staged = salted_running_max(staged, "__bkt", entity, order, chunk_ms, out="__a")
+    per_bucket = staged.groupBy(entity, "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    stats = per_bucket.select(
+        entity, "__bkt",
+        *[
+            F.coalesce(
+                F.sum("__bn").over(
+                    Window.partitionBy(entity)
+                    .orderBy("__bkt")
+                    .rangeBetween(Window.unboundedPreceding, -(p + 1))
+                ),
+                F.lit(0),
+            ).alias(f"__older_{p}")
+            for p in periods
+        ],
+    )
+    joined = staged.join(stats, [entity, "__bkt"], "left")
+    base_cols = [f"__base_{p}" for p in periods]
+    joined = joined.select(
+        "*",
+        *[
+            F.when(F.col("__bkt") == F.col("__a"), -F.col(f"__older_{p}"))
+            .alias(f"__base_{p}")
+            for p in periods
+        ],
+    )
+    carried = salted_strict_last_carry(
+        joined, base_cols, entity, order, chunk_ms, out_prefix="__c_"
+    )
+    # the strictly-before carry must still see the CURRENT row's base when
+    # it is itself at-max (the sequential last() frame is inclusive):
+    # carried value at row i = coalesce(own base, strict carry)
+    vec = F.array(*[
+        F.coalesce(F.col(f"__base_{p}"), F.col(f"__c___base_{p}"))
+        + F.col("__cnt")
+        for p in periods
+    ])
+    drop = (
+        ["__bkt", "__cnt", "__a"]
+        + [f"__older_{p}" for p in periods]
+        + base_cols
+        + [f"__c___base_{p}" for p in periods]
+    )
+    return carried.withColumn(out, vec).drop(*drop)

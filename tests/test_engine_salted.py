@@ -134,3 +134,12 @@ def test_salted_late_writes_identical(spark):
         FeatureEngine(feats(), hot_chunk_ms=3 * DAY).ranking_values(ev)
     )
     assert got == plain
+    # declared-hot split: the impression leg routes through the COMPOSED
+    # decomposed-anchored series (engine._compose_hot_series) — still
+    # bit-identical
+    got_split = _rows(
+        FeatureEngine(
+            feats(), hot_chunk_ms=3 * DAY, hot_entities=["u0", "u1", "u2"]
+        ).ranking_values(ev)
+    )
+    assert got_split == plain

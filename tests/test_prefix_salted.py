@@ -190,3 +190,46 @@ def test_detect_hot_entities(spark):
     got = detect_hot_entities(df, "user_id", min_share=0.3, sample_fraction=0.5)
     assert got == ["u_hot"]
     assert detect_hot_entities(df.limit(0), "user_id") == []
+
+
+def test_salted_anchored_equals_sequential(spark):
+    """The decomposed anchored periodic vector equals the sequential
+    running-max + carry formula bit-for-bit on a frame with bounded-late
+    value timestamps (vts <= commit ts, lateness under one bucket)."""
+    from metarank_spark.engine import FeatureEngine
+    from metarank_spark.plans.prefix import salted_anchored_period_counts
+
+    rnd = random.Random(5)
+    rows, seq = [], 0
+    def emit(ent, n):
+        nonlocal seq
+        for _ in range(n):
+            seq += 1
+            ts = T0 + rnd.randrange(0, 40 * DAY)
+            late = rnd.random() < 0.4
+            vts = ts - rnd.randrange(0, 12 * 3_600_000) if late else ts
+            rows.append((ent, ts, seq, 1, vts))
+    emit("hot", 400)
+    for u in range(10):
+        emit(f"u{u}", 30)
+    df = spark.createDataFrame(
+        rows, "entity string, ts_ms long, seq long, __side int, vts long"
+    )
+    periods = (3, 7)
+    bucket = F.floor(F.col("vts") / F.lit(DAY))
+    order = ("ts_ms", "seq", "__side")
+
+    direct = df.withColumn(
+        "vec",
+        FeatureEngine._anchored_period_counts(
+            F.lit(True), F.lit(1), bucket, periods, "entity"
+        ),
+    )
+    exp = {(r["entity"], r["seq"]): tuple(r["vec"]) for r in direct.collect()}
+    got_df = salted_anchored_period_counts(
+        df, "entity", order, DAY, periods, 7 * DAY, bucket
+    )
+    got = {(r["entity"], r["seq"]): tuple(r["vec"]) for r in got_df.collect()}
+    assert got == exp
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
