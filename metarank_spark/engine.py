@@ -1695,7 +1695,7 @@ class FeatureEngine:
             return F.regexp_extract(raw, pat, i)
 
         ok = g(7) != ""
-        y, mo, dd_ = g(1).cast("int"), g(2).cast("int"), g(3).cast("int")
+        y, mo = g(1).cast("int"), g(2).cast("int")
         h, mi, s = g(4).cast("int"), g(5).cast("int"), g(6).cast("int")
         # epoch day of the LOCAL date via tz-free DATE arithmetic
         epoch_day = F.datediff(

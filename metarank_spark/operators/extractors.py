@@ -119,7 +119,6 @@ def rate_normalized(
     Global priors use whole-bucket totals (day granularity), the natural
     definition for a smoothing prior.
     """
-    b = bucket_col("ts_ms", bucket_ms).alias("__bucket")
     df = df.withColumn("__bucket", bucket_col("ts_ms", bucket_ms))
 
     per_bucket = (
