@@ -56,3 +56,55 @@ def session_bounds(
         (F.max(ts) - F.min(ts)).alias("session_dur_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def salted_sessionize(
+    events: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts_ms",
+    seq: str = "event_id",
+    gap_ms: int = DEFAULT_GAP_MS,
+    chunk_ms: int = 7 * 24 * 3_600_000,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """sessionize() with (entity, time-chunk) window partitions — the
+    hot-entity variant: a key holding a macroscopic share of events would
+    otherwise run its lag + running-sum windows in ONE task.
+
+    Exact decomposition: the new-session flag needs only the previous
+    row's ts — within chunks that is a chunk-partitioned lag, and each
+    chunk's first row takes the handoff from the latest earlier non-empty
+    chunk's max ts (a one-row-per-entity-chunk frame). The session index
+    is then a running sum of resolved flags — the salted prefix sum
+    (plans/prefix.salted_cumulative_sum). Bit-identical to sessionize()
+    (tests/test_prefix_salted.py)."""
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
+    df = events.withColumn("__ck", F.floor(F.col(ts) / F.lit(chunk_ms)))
+    w_in = Window.partitionBy(entity, "__ck").orderBy(ts, seq)
+    bounds = df.groupBy(entity, "__ck").agg(F.max(F.col(ts)).alias("__last"))
+    w_off = (
+        Window.partitionBy(entity)
+        .orderBy("__ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    handoff = bounds.select(
+        entity, "__ck",
+        F.last("__last", ignorenulls=True).over(w_off).alias("__prev_last"),
+    )
+    df = (
+        df.withColumn("__prev_in", F.lag(ts).over(w_in))
+        .join(handoff, [entity, "__ck"], "left")
+    )
+    prev_eff = F.coalesce(F.col("__prev_in"), F.col("__prev_last"))
+    flag = F.when(
+        prev_eff.isNull() | (F.col(ts) - prev_eff > gap_ms), 1
+    ).otherwise(0)
+    df = df.withColumn("__ns", flag)
+    out = salted_cumulative_sum(
+        df, F.col("__ns"), entity=entity, order=(ts, seq),
+        chunk_ms=chunk_ms, out="__cum",
+    )
+    return out.withColumn(out_col, (F.col("__cum") - 1).cast("long")).drop(
+        "__ck", "__prev_in", "__prev_last", "__ns", "__cum"
+    )

@@ -233,3 +233,33 @@ def test_salted_anchored_equals_sequential(spark):
     assert got == exp
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_salted_sessionize_equals_plain(spark):
+    """Gap-based session indices from the chunk-decomposed sessionize
+    equal the single-window form, including chunk-boundary gaps, empty
+    chunks, and same-ts ties."""
+    from metarank_spark.plans.sessionize import salted_sessionize, sessionize
+
+    df = _events(spark)  # hot key + 20 uniform users over 60 days
+    plain = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(df, seq="event_id").collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in salted_sessionize(df, chunk_ms=3 * DAY).collect()
+    }
+    assert got == plain
+    # boundary case: events exactly at a chunk edge with an in-gap link
+    rows = [
+        ("u", 3 * DAY - 1, 1), ("u", 3 * DAY, 2),        # same session, crosses chunks
+        ("u", 3 * DAY + 40 * 60_000, 3),                 # new session inside chunk
+        ("u", 9 * DAY, 4),                               # empty chunk in between
+    ]
+    small = spark.createDataFrame(rows, "user_id string, ts_ms long, event_id long")
+    got2 = {
+        r["event_id"]: r["session_idx"]
+        for r in salted_sessionize(small, chunk_ms=3 * DAY).collect()
+    }
+    assert got2 == {1: 0, 2: 0, 3: 1, 4: 2}
