@@ -742,6 +742,54 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet-style statistical filter): a
+    document's cross-entropy in bits under the corpus unigram MLE —
+    gibberish scores high, boilerplate low. Two aggregations (corpus
+    vocab, per-doc mean) + one token-key join; the vocab frame is
+    |unique tokens|, orders of magnitude smaller than the corpus, and
+    the join key is the token id, so common-token skew is AQE-splittable
+    (no windows anywhere). Rounded to 6dp: the mean crosses different
+    summation orders per engine."""
+    seq = tx.tokenized_sequences(spark, sf).filter(F.col("n_tok") > 0)
+    tok = seq.select("doc_id", F.explode("tokens").alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf_corpus"))
+    total = tok.count()
+    scored = tok.join(vocab, "t").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.round(
+            -F.avg(F.log2(F.col("tf_corpus") / F.lit(float(total)))), 6
+        ).alias("bits_per_token"),
+    )
+    return scored
+
+
+def q_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Characteristic terms per document: top-3 tokens by (term frequency
+    desc, document frequency asc, token asc) — the TF-IDF idea with an
+    integer-only ordering, so the selection is bit-stable across engines.
+    Grouped counts + a doc-partitioned top-k window."""
+    seq = tx.tokenized_sequences(spark, sf).filter(F.col("n_tok") > 0)
+    tok = seq.select("doc_id", F.explode("tokens").alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(dfreq, "t")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("t").asc()
+    )
+    return (
+        j.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("t").cast("long").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """int8-quantized ANN: symmetric per-vector scalar quantization
     (floor(x*127/max|x|)) + exact integer dot-product ranking — the 4x
@@ -1212,6 +1260,27 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS top_bigram_frac,
                sum(cnt)::BIGINT AS n_bigrams
         FROM c GROUP BY doc_id""",
+    "lm_quality": f"""{SEQ},
+        tok AS (SELECT doc_id, unnest(tokens) AS t FROM seq
+                WHERE len(tokens) > 0),
+        vocab AS (SELECT t, count(*) AS tf_corpus FROM tok GROUP BY t),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+        SELECT doc_id, count(*)::BIGINT AS n_tok,
+          round(-avg(log2(tf_corpus / tot.n)), 6) AS bits_per_token
+        FROM tok JOIN vocab USING (t), tot
+        GROUP BY doc_id""",
+    "keywords": f"""{SEQ},
+        tok AS (SELECT doc_id, unnest(tokens) AS t FROM seq
+                WHERE len(tokens) > 0),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        r AS (SELECT tf.doc_id, tf.t, tf.tf, dfreq.df,
+                row_number() OVER (PARTITION BY tf.doc_id
+                  ORDER BY tf.tf DESC, dfreq.df ASC, tf.t ASC) AS kw_rank
+              FROM tf JOIN dfreq USING (t))
+        SELECT doc_id, kw_rank::BIGINT AS kw_rank, t::BIGINT AS token,
+          tf::BIGINT AS tf, df::BIGINT AS df
+        FROM r WHERE kw_rank <= 3""",
     "ann_quantized": """
         WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1269,6 +1338,8 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rep_ngram": q_rep_ngram,
     "pack_sequences": q_pack_sequences,
     "ann_quantized": q_ann_quantized,
+    "lm_quality": q_lm_quality,
+    "keywords": q_keywords,
 }
 
 
