@@ -754,14 +754,18 @@ def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     seq = tx.tokenized_sequences(spark, sf).filter(F.col("n_tok") > 0)
     tok = seq.select("doc_id", F.explode("tokens").alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf_corpus"))
-    total = tok.count()
-    scored = tok.join(vocab, "t").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.round(
-            -F.avg(F.log2(F.col("tf_corpus") / F.lit(float(total)))), 6
-        ).alias("bits_per_token"),
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(
+                -F.avg(F.log2(F.col("tf_corpus") / F.col("__n"))), 6
+            ).alias("bits_per_token"),
+        )
     )
-    return scored
 
 
 def q_keywords(spark: SparkSession, sf: str) -> DataFrame:
