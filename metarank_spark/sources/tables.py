@@ -50,7 +50,18 @@ def write_events_table(
     buckets: int = 64,
     table_name: str | None = None,
 ) -> None:
-    """Publish the event table in merge-scan-friendly layout."""
+    """Publish the event table in merge-scan-friendly layout.
+
+    With a ``table_name``: Iceberg when the runtime is present, else a
+    catalog-managed bucketed+sorted table (``bucketBy(entity)`` +
+    ``sortBy(entity, ts_ms, seq)``). Reading that table back and running
+    the write-series fold produces a plan with ZERO exchanges — the scan
+    reports hash partitioning on the bucket column, so every per-entity
+    window runs straight off the files (CI-pinned by
+    tests/test_bucketed_layout.py). At 10^12 rows that is the single
+    largest data movement in the pipeline, gone. Without a table name:
+    plain parquet partitioned by entity-hash directory (layout only — a
+    directory partition does NOT carry partitioning info into the plan)."""
     spark = events.sparkSession
     if table_name and iceberg_available(spark):
         (
@@ -58,6 +69,14 @@ def write_events_table(
             .using("iceberg")
             .tableProperty("write.distribution-mode", "hash")
             .createOrReplace()
+        )
+        return
+    if table_name:
+        (
+            events.write.mode("overwrite")
+            .bucketBy(buckets, entity)
+            .sortBy(entity, "ts_ms", "seq")
+            .saveAsTable(table_name)
         )
         return
     bucket = F.pmod(F.xxhash64(entity), F.lit(buckets)).alias("entity_bucket")
@@ -72,6 +91,6 @@ def write_events_table(
 
 
 def read_events_table(spark: SparkSession, target: str, table_name: str | None = None) -> DataFrame:
-    if table_name and iceberg_available(spark):
+    if table_name:
         return spark.read.table(table_name)
     return spark.read.parquet(target).drop("entity_bucket")
