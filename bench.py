@@ -42,6 +42,8 @@ HEADLINE = [
     "bm25",
     "chunk_tokens",
     "pack_sequences",
+    "rank_eval",
+    "lm_quality",
 ]
 
 

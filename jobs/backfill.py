@@ -74,6 +74,11 @@ DEFAULT_FEATURES = [
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", help="parquet path of canonical events")
+    ap.add_argument("--table", help="catalog table of canonical events "
+                    "(bucketed tables elide the write-fold shuffle — "
+                    "sources/tables.write_events_table; needs a shared "
+                    "metastore/Iceberg catalog, or same-session tables "
+                    "with Spark's in-memory catalog)")
     ap.add_argument("--synthetic-users", type=int, default=0,
                     help="generate synthetic ranklens events instead of reading --events")
     ap.add_argument("--output", required=True)
@@ -106,10 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("metarank-backfill", parallelism=args.cpus)
     if args.synthetic_users:
         events = synthetic_ranklens(spark, users=args.synthetic_users)
+    elif args.table:
+        events = spark.table(args.table)
     elif args.events:
         events = spark.read.parquet(args.events)
     else:
-        ap.error("need --events or --synthetic-users")
+        ap.error("need --events, --table or --synthetic-users")
 
     hot_entities = None
     if args.hot_chunk_ms and args.hot_auto_share:
