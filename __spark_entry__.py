@@ -89,6 +89,38 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(sessionize(_ev(spark, sf), gap_ms=GAP_MS), "session_idx")
 
 
+def q_sessionize_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """The hot-entity (chunk-decomposed) sessionizer
+    (plans/sessionize.salted_sessionize) checked against the SAME DuckDB
+    oracle as `sessionize` — the salted plan is oracle-verified
+    end-to-end, not just property-tested against its Spark twin."""
+    from metarank_spark.plans.sessionize import salted_sessionize
+
+    return _keys(
+        salted_sessionize(
+            _ev(spark, sf), gap_ms=GAP_MS, chunk_ms=3 * MS_DAY
+        ),
+        "session_idx",
+    )
+
+
+def q_interaction_count_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """The salted two-pass prefix counter
+    (plans/prefix.salted_cumulative_sum) against interaction_count's
+    oracle — same rationale as sessionize_salted."""
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
+    clicks = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    df = salted_cumulative_sum(
+        _ev(spark, sf), clicks, entity="user_id",
+        order=("ts_ms", "event_id"), chunk_ms=3 * MS_DAY, out="clicks_cum",
+    )
+    return _keys(
+        df.withColumn("clicks_cum", F.col("clicks_cum").cast("long")),
+        "clicks_cum",
+    )
+
+
 def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-session bounds/counts on top of gap sessionization."""
     s = sessionize(_ev(spark, sf), gap_ms=GAP_MS)
@@ -1635,6 +1667,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_scalar": q_last_scalar,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "sessionize_salted": q_sessionize_salted,
+    "interaction_count_salted": q_interaction_count_salted,
     "session_stats": q_session_stats,
     "window_count": q_window_count,
     "window_count_multi": q_window_count_multi,
@@ -1660,6 +1694,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **_TEXT_QUERIES,
 }
 _ORACLES.update(_TEXT_ORACLES)
+# the salted twins answer the same question — same oracle
+_ORACLES["sessionize_salted"] = _ORACLES["sessionize"]
+_ORACLES["interaction_count_salted"] = _ORACLES["interaction_count"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
