@@ -1,0 +1,34 @@
+"""The export job (jobs/export_dataset.py) writes a complete train/test
+dataset + descriptor from the event stream — the `metarank export`
+workflow (main/command/Export.scala:28-77) end to end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def test_export_dataset_libsvm(spark, tmp_path):
+    from jobs.export_dataset import main
+
+    out = str(tmp_path / "ds")
+    main([
+        "--synthetic-users", "200", "--output", out,
+        "--format", "libsvm", "--split", "hold_last",
+    ])
+    desc = json.load(open(os.path.join(out, "dataset.json")))
+    assert desc["features"] == ["clicks", "cnt7", "ctr"]
+    assert desc["dense_width"] == 4
+    # hold_last: one test ranking-row-group per user
+    assert desc["rows"]["train"] + desc["rows"]["test"] == 200 * 2 * 12
+    lines = []
+    for d in ("train", "test"):
+        for f in os.listdir(os.path.join(out, d)):
+            if f.startswith("part"):
+                lines += open(os.path.join(out, d, f)).read().splitlines()
+    assert len(lines) == 200 * 2 * 12
+    # every line: label qid:<int> then idx:val pairs with 1-based indices
+    lab, qid, *pairs = lines[0].split(" ")
+    assert float(lab) in (0.0, 1.0) and qid.startswith("qid:")
+    pairs = [p for p in pairs if p]  # all-zero rows leave no idx:val pairs
+    assert all(":" in p and 1 <= int(p.split(":")[0]) <= 4 for p in pairs)
