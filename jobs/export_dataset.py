@@ -62,7 +62,10 @@ def main(argv: list[str] | None = None) -> int:
 
         features = load_config(args.config).features
     else:
-        from jobs.backfill import DEFAULT_FEATURES, parse_features
+        try:
+            from jobs.backfill import DEFAULT_FEATURES, parse_features
+        except ModuleNotFoundError:  # spark-submit puts jobs/ itself on path
+            from backfill import DEFAULT_FEATURES, parse_features
 
         features = parse_features(DEFAULT_FEATURES)
 
