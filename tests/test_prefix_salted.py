@@ -263,3 +263,84 @@ def test_salted_sessionize_equals_plain(spark):
         for r in salted_sessionize(small, chunk_ms=3 * DAY).collect()
     }
     assert got2 == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+# ---------- hypothesis: arbitrary frames, salted == plain ----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _frames(draw):
+    """Small adversarial frames: negative timestamps, tie storms, sparse
+    values, chunk sizes from degenerate (1ms) to one-chunk-total."""
+    n = draw(st.integers(1, 60))
+    ents = draw(st.lists(st.sampled_from(["a", "b", "hot"]), min_size=n, max_size=n))
+    rows = []
+    for i, e in enumerate(ents):
+        ts = draw(st.integers(-3 * DAY, 3 * DAY))
+        val = draw(st.one_of(st.none(), st.floats(-5, 5, allow_nan=False)))
+        rows.append((e, ts, i, draw(st.integers(0, 1)), val))
+    chunk = draw(st.sampled_from([1, 3_600_000, DAY, 7 * DAY]))
+    return rows, chunk
+
+
+@settings(max_examples=12, deadline=None)
+@given(_frames())
+def test_salted_carry_hypothesis(spark, fc):
+    from metarank_spark.plans.prefix import salted_strict_last_carry
+
+    rows, chunk = fc
+    df = spark.createDataFrame(
+        rows, "entity string, ts_ms long, seq long, __side int, v double"
+    )
+    order = ("ts_ms", "seq", "__side")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = {
+        (r["entity"], r["seq"]): r["c"]
+        for r in df.select(
+            "entity", "seq", F.last("v", ignorenulls=True).over(w).alias("c")
+        ).collect()
+    }
+    got = {
+        (r["entity"], r["seq"]): r["__carr_v"]
+        for r in salted_strict_last_carry(
+            df, ["v"], "entity", order, chunk
+        ).collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(_frames())
+def test_salted_count_and_max_hypothesis(spark, fc):
+    from metarank_spark.plans.prefix import salted_running_count, salted_running_max
+
+    rows, chunk = fc
+    df = spark.createDataFrame(
+        rows, "entity string, ts_ms long, seq long, __side int, v double"
+    )
+    order = ("ts_ms", "seq", "__side")
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r["entity"], r["seq"]): (r["cnt"], r["mx"])
+        for r in df.select(
+            "entity", "seq",
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.max("ts_ms").over(w).alias("mx"),
+        ).collect()
+    }
+    c = salted_running_count(df, "entity", order, chunk)
+    m = salted_running_max(c, "ts_ms", "entity", order, chunk, out="mx")
+    got = {
+        (r["entity"], r["seq"]): (r["cnt"], r["mx"]) for r in m.collect()
+    }
+    assert got == exp
