@@ -130,9 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.config:
         from metarank_spark.config import load_config
 
-        engine = FeatureEngine(load_config(args.config).features,
-                               hot_chunk_ms=args.hot_chunk_ms or None,
-                               hot_entities=hot_entities)
+        cfg = load_config(args.config)
+        kw = cfg.engine_kwargs()
+        if args.hot_chunk_ms:  # CLI flags override the engine: section
+            kw["hot_chunk_ms"] = args.hot_chunk_ms
+        if hot_entities:
+            kw["hot_entities"] = hot_entities
+        engine = FeatureEngine(cfg.features, **kw)
     else:
         spec = DEFAULT_FEATURES
         if args.features:

@@ -97,6 +97,17 @@ class LoadedConfig:
     ttl_ms: dict[str, int] = dc_field(default_factory=dict)
     models: dict = dc_field(default_factory=dict)
     raw: dict = dc_field(default_factory=dict)
+    # engine: section (this engine's own extension — the reference has no
+    # cluster-execution knobs): hot-entity salting config, passed to
+    # FeatureEngine(hot_chunk_ms=..., hot_entities=...)
+    hot_chunk_ms: "int | None" = None
+    hot_entities: "list | None" = None
+
+    def engine_kwargs(self) -> dict:
+        return {
+            "hot_chunk_ms": self.hot_chunk_ms,
+            "hot_entities": self.hot_entities,
+        }
 
 
 def parse_feature(entry: dict):
@@ -215,7 +226,13 @@ def load_config(text_or_path: str) -> LoadedConfig:
             refresh[entry["name"]] = parse_duration_ms(entry["refresh"])
         if "ttl" in entry:
             ttl[entry["name"]] = parse_duration_ms(entry["ttl"])
+    eng = doc.get("engine") or {}
+    hot_chunk = (
+        parse_duration_ms(eng["hot_chunk"]) if "hot_chunk" in eng else None
+    )
     return LoadedConfig(
         features=feats, refresh_ms=refresh, ttl_ms=ttl,
         models=doc.get("models") or {}, raw=doc,
+        hot_chunk_ms=hot_chunk,
+        hot_entities=list(eng["hot_entities"]) if eng.get("hot_entities") else None,
     )

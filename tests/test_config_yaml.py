@@ -157,3 +157,25 @@ def test_autofeature_yaml_roundtrip(spark):
     rows_out = {(r["ranking_id"], r["position"]): r.asDict() for r in out.collect()}
     assert rows_out[("r2", 0)]["click_count"] == 1.0
     assert rows_out[("r2", 0)]["str_color"] == 1.0  # red → index 0 → 1
+
+
+def test_engine_section_hot_config(spark):
+    """The engine: section threads hot-entity salting into FeatureEngine
+    — a pure-YAML user can enable it without code."""
+    from metarank_spark.config import load_config
+    from metarank_spark.engine import FeatureEngine
+
+    cfg = load_config("""
+features:
+  - { type: interaction_count, name: clicks, interaction: click }
+engine:
+  hot_chunk: 1d
+  hot_entities: [u_hot, p9]
+""")
+    assert cfg.hot_chunk_ms == 86_400_000
+    assert cfg.hot_entities == ["u_hot", "p9"]
+    eng = FeatureEngine(cfg.features, **cfg.engine_kwargs())
+    assert eng.hot_chunk_ms == 86_400_000 and eng.hot_entities == ["u_hot", "p9"]
+    # absent section → plain engine
+    plain = load_config("features:\n  - { type: interaction_count, name: c, interaction: click }\n")
+    assert plain.engine_kwargs() == {"hot_chunk_ms": None, "hot_entities": None}
