@@ -38,6 +38,8 @@ def asof_join(
     right_seq: str | None = None,
     strict: bool = True,
     suffix: str = "_asof",
+    salt_chunk_ms: int | None = None,
+    hot_entities: "list | None" = None,
 ) -> DataFrame:
     """For each left row, attach the latest ``values`` from ``right`` with
     right.ts (strictly) before left.ts, matched on the entity key ``on``.
@@ -45,6 +47,13 @@ def asof_join(
     Returns all left columns plus one ``{v}{suffix}`` column per value
     (null when no earlier state exists — Metarank's "missing" read,
     surfaced as NaN at the MValue layer, model/MValue.scala:38).
+
+    ``salt_chunk_ms`` (+ optional ``hot_entities``, single-key joins):
+    the carry runs with (entity, time-chunk) window partitions and exact
+    reassembly (plans/prefix.salted_strict_last_carry) so a hot key's
+    merged timeline spreads across tasks — with a declared hot set only
+    those keys pay the reassembly, everyone else keeps the plain window.
+    Bit-identical output either way (tests/test_prefix_salted.py).
     """
     keys = [on] if isinstance(on, str) else list(on)
     values = values or [c for c in right.columns if c not in keys + [right_ts, right_seq]]
@@ -84,13 +93,44 @@ def asof_join(
     # rows sort AFTER the query row (marker 1) so they are excluded even
     # when multiple rows tie; with strict=False state sorts first and the
     # frame includes the current row, so same-(ts,seq) state is visible.
-    carried = merged.select(
-        *merged.columns,
-        *[
-            F.last(f"__asof_v_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in values
-        ],
-    )
+    def plain(df: DataFrame) -> DataFrame:
+        return df.select(
+            *df.columns,
+            *[
+                F.last(f"__asof_v_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+                for v in values
+            ],
+        )
+
+    def salted(df: DataFrame, broadcast: bool) -> DataFrame:
+        from metarank_spark.plans.prefix import salted_strict_last_carry
+
+        c = salted_strict_last_carry(
+            df, [f"__asof_v_{v}" for v in values], keys[0],
+            ("__asof_ts", _SEQ, _SIDE), salt_chunk_ms,
+            broadcast_offsets=broadcast,
+        )
+        # strict frame ends at -1; the at-or-before frame includes the
+        # current row, i.e. coalesce(own value, strict carry)
+        def col(v):
+            strict_c = F.col(f"__carr___asof_v_{v}")
+            return strict_c if strict else F.coalesce(
+                F.col(f"__asof_v_{v}"), strict_c
+            )
+        return c.select(
+            *merged.columns,
+            *[col(v).alias(f"{v}{suffix}") for v in values],
+        )
+
+    if salt_chunk_ms and len(keys) == 1 and hot_entities:
+        is_hot = F.coalesce(F.col(keys[0]).isin(list(hot_entities)), F.lit(False))
+        carried = plain(merged.filter(~is_hot)).unionByName(
+            salted(merged.filter(is_hot), broadcast=True)
+        )
+    elif salt_chunk_ms and len(keys) == 1:
+        carried = salted(merged, broadcast=False)
+    else:
+        carried = plain(merged)
     out = carried.filter(F.col(_SIDE) == query_marker)
     drop = ["__asof_ts", _SEQ, _SIDE] + [f"__asof_v_{v}" for v in values]
     return out.drop(*drop)

@@ -344,3 +344,39 @@ def test_salted_count_and_max_hypothesis(spark, fc):
         (r["entity"], r["seq"]): (r["cnt"], r["mx"]) for r in m.collect()
     }
     assert got == exp
+
+
+def test_salted_asof_join_equals_plain(spark):
+    """asof_join(salt_chunk_ms=...) — both strictness modes, with and
+    without a declared hot set — equals the plain union-merge carry."""
+    from metarank_spark.plans.asof import asof_join
+
+    rnd = random.Random(77)
+    state, queries = [], []
+    for i in range(400):
+        e = "hot" if rnd.random() < 0.6 else f"u{rnd.randrange(8)}"
+        state.append((e, T0 + rnd.randrange(0, 30 * DAY), i, float(i)))
+    for i in range(300):
+        e = "hot" if rnd.random() < 0.6 else f"u{rnd.randrange(8)}"
+        queries.append((e, T0 + rnd.randrange(0, 30 * DAY), i))
+    right = spark.createDataFrame(state, "k string, ts_ms long, seq long, val double")
+    left = spark.createDataFrame(queries, "k string, ts_ms long, qseq long")
+
+    for strict in (True, False):
+        base = {
+            (r["k"], r["qseq"]): r["val_asof"]
+            for r in asof_join(
+                left, right, "k", values=["val"],
+                left_seq="qseq", right_seq="seq", strict=strict,
+            ).collect()
+        }
+        for hot in (None, ["hot"]):
+            got = {
+                (r["k"], r["qseq"]): r["val_asof"]
+                for r in asof_join(
+                    left, right, "k", values=["val"],
+                    left_seq="qseq", right_seq="seq", strict=strict,
+                    salt_chunk_ms=3 * DAY, hot_entities=hot,
+                ).collect()
+            }
+            assert got == base, (strict, hot)
