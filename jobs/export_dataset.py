@@ -76,9 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     split_fn = {
         "random": lambda df: splits.split_random(df, ratio=args.split_ratio),
         "time": lambda df: splits.split_time(df, ratio=args.split_ratio),
-        "hold_last": lambda df: splits.split_hold_last(df),
+        # ranking granularity: a qid group must never straddle the split
+        "hold_last": lambda df: splits.split_hold_last_ranking(df),
     }[args.split]
-    marked = split_fn(tm)
+    # persist the marked matrix: both part writes and both row counts read
+    # the cache instead of re-running the feature fold per pass
+    marked = split_fn(tm).persist()
 
     counts = {}
     for part in ("train", "test"):
@@ -101,8 +104,18 @@ def main(argv: list[str] | None = None) -> int:
         "split": args.split,
         "rows": counts,
     }
-    with open(f"{args.output}/dataset.json", "w") as fh:
-        json.dump(desc, fh, indent=2)
+    # write the descriptor through the Hadoop FS API so --output works on
+    # any supported filesystem (hdfs://, s3a://, file:), not just the
+    # driver's local disk
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{args.output}/dataset.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(desc, indent=2).encode("utf-8")))
+    finally:
+        stream.close()
+    marked.unpersist()
     print(json.dumps(desc))
     return 0
 

@@ -308,7 +308,12 @@ FeatureConfig = (
 # engine
 # --------------------------------------------------------------------------
 
-FIELD_SCOPE_SEP = ""
+# RankingFieldScope entity = field value + item id; the reference encodes
+# this with explicit delimiters (Scope.scala:48-52 RankingFieldScope,
+# 'irf=field:value:item'). A separator that cannot appear in ids keeps
+# distinct (value, item) pairs like ('a1','2') vs ('a','12') from
+# colliding into one state key.
+FIELD_SCOPE_SEP = "\x01"
 
 
 def _parse_field_scope(scope: str) -> tuple[str, str] | None:
@@ -825,6 +830,10 @@ class FeatureEngine:
                 ).unionByName(
                     self._compose_hot_series(writes.filter(hot), feats)
                 )
+            elif self.hot_chunk_ms:
+                # salt-every-entity mode: decomposed write-side fold for
+                # every key (same shape _run_scope_group uses inline)
+                out[scope_key] = self._compose_hot_series(writes, feats)
             else:
                 out[scope_key] = _ws(writes, "entity", feats)
         return out
@@ -981,10 +990,20 @@ class FeatureEngine:
                 hot_entities=self.hot_entities,
             )
             return cold_out.unionByName(hot_out)
-        return run_merged(
-            queries, writes, "entity", feats, qkeys,
-            salt_chunk_ms=self.hot_chunk_ms,
-        )
+        if self.hot_chunk_ms:
+            # salt-EVERY-entity mode (coarse key spaces): the write-side
+            # fold must be decomposed too, not just the carry — otherwise
+            # the running/periodic windows still pin a hot key's whole
+            # timeline to one task. Route every entity through the
+            # composed salted series + salted-carry assembly.
+            from metarank_spark.operators.merge import assemble_from_series
+
+            series_all = self._compose_hot_series(writes, feats)
+            return assemble_from_series(
+                queries, series_all, "entity", feats, qkeys,
+                salt_chunk_ms=self.hot_chunk_ms,
+            )
+        return run_merged(queries, writes, "entity", feats, qkeys)
 
     @staticmethod
     def _ttl_wrap(cfg, wc: dict, fin, flags: dict[str, Column] | None = None,

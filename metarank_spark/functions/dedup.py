@@ -108,7 +108,6 @@ def minhash_lsh_pairs(
     # without it CollapseProject re-inlines the full tokenize→shingle→
     # minhash expression tree into every band reference (~K x recompute),
     # and a single small parquet file would pin everything to one task
-    from pyspark import StorageLevel
 
     # repartition BEFORE the signature projection: with .select(...).
     # repartition() the exchange sits ABOVE the project, so the expensive
@@ -122,12 +121,15 @@ def minhash_lsh_pairs(
             shingles_expr(F.col(tokens)).alias("sh"),
             *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
         )
-        # persist: the signature table is referenced by the bucket-cap
-        # window and both self-join sides; without a hard materialization
+        # hard materialization barrier: the signature table is referenced
+        # by the bucket-cap window and both self-join sides; without it
         # Catalyst re-inlines the expensive expression tree into each
-        # reference (measured ~6x wall). Disk-spillable for big corpora —
-        # at warehouse scale write it as its own table instead.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # reference (measured ~6x wall). localCheckpoint stores the rows
+        # MEMORY_AND_DISK like persist would, but the blocks are released
+        # by the ContextCleaner when the frame goes out of scope — no
+        # cached partitions accumulate across calls. At warehouse scale
+        # write the signature table as its own table instead.
+        .localCheckpoint(eager=False)
     )
     bands = [
         F.concat_ws(
@@ -179,8 +181,14 @@ def connected_components(
     rounds; near-dup components are short chains, so a handful of
     (join + min-aggregate) rounds — each one shuffle on the node key —
     suffices. The driver loop only reads a scalar convergence count per
-    round (no row data ever collects). At warehouse scale, checkpoint
-    ``labels`` every few rounds to truncate lineage, or switch to the
+    round (no row data ever collects). Each round's labels frame is
+    local-checkpointed (materialized by the convergence count), which
+    both truncates the iterative lineage — the returned frame's plan is
+    one window over the final labels, not a deep per-round join tree —
+    and leaves no manually-persisted frames behind: checkpoint blocks
+    are released by Spark's ContextCleaner once the frame is
+    unreferenced, so repeated calls in one session do not accumulate
+    cached partitions. At warehouse scale switch to the
     large-star/small-star variant; the per-round plan is identical."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -197,14 +205,17 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
-        new = new.persist()
+        # eager local checkpoint: materializes this round's labels once,
+        # cuts the lineage to the previous rounds (their blocks become
+        # unreferenced and are GC-cleaned), and the convergence count
+        # below reads the stored blocks instead of recomputing
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.withColumnRenamed("lbl", "new_lbl")
             .join(labels, "node")
             .filter(F.col("new_lbl") != F.col("lbl"))
             .count()
         )
-        labels.unpersist()  # no-op on the unpersisted initial frame
         labels = new
         if changed == 0:
             break

@@ -186,12 +186,13 @@ def embedding_near_dup_pairs(
     dedup.minhash_lsh_pairs (signature → explode bands → drop
     non-discriminative mega-buckets → bucket self-join → verify), so no
     stage is ever quadratic in anything but the capped bucket size."""
-    from pyspark import StorageLevel
-
-    # repartition BEFORE the signature projection (small-scan fan-out) and
-    # persist: the banded signature is referenced by the cap window and
-    # both self-join sides — without a materialization barrier Catalyst's
-    # CollapseProject re-inlines the hyperplane fold into each reference.
+    # repartition BEFORE the signature projection (small-scan fan-out),
+    # then a hard materialization barrier: the banded signature is
+    # referenced by the cap window and both self-join sides — without it
+    # Catalyst's CollapseProject re-inlines the hyperplane fold into each
+    # reference. localCheckpoint stores MEMORY_AND_DISK like persist, but
+    # the blocks are GC-released when the frame goes out of scope, so
+    # repeated calls leave no cached partitions behind.
     sig_df = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -199,7 +200,7 @@ def embedding_near_dup_pairs(
             F.col(vec).alias("e"),
             lsh_band_keys(F.col(vec), dim, planes, band_bits).alias("bands"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     base = sig_df.select("id", "e", F.explode("bands").alias("band"))
     bucket_n = Window.partitionBy("band")

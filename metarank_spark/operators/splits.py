@@ -40,6 +40,30 @@ def split_hold_last(df: DataFrame, user: str = "user_id", ts: str = "ts_ms",
     )
 
 
+def split_hold_last_ranking(
+    df: DataFrame, user: str = "user_id", ts: str = "ts_ms",
+    seq: str = "seq", group: str = "ranking_id",
+) -> DataFrame:
+    """HoldLastSplit at RANKING granularity — the reference's actual
+    HoldLastStrategy semantics (:62-80 holds whole clickthroughs per
+    user): ALL rows of each user's latest ranking go to test together,
+    so no qid group is ever split across train and test (split qid
+    groups = label leakage + invalid LTR eval groups). Use this on the
+    per-(ranking, position, item) training matrix; ``split_hold_last``
+    is the row-granularity variant for flat event streams.
+
+    The latest ranking is max (ts, seq, group) — group as tiebreaker
+    makes ties deterministic. One unordered window over the user key
+    (single shuffle, no join; high-cardinality key, no skew)."""
+    w = Window.partitionBy(user)
+    last = F.max(F.struct(F.col(ts), F.col(seq), F.col(group))).over(w)
+    return df.withColumn(
+        "split",
+        F.when(F.col(group) == last.getField(group), "test")
+        .otherwise("train"),
+    )
+
+
 def split_field(df: DataFrame, column: Column, value) -> DataFrame:
     """FieldSplit (:82-95): rows whose field matches → test."""
     return df.withColumn(

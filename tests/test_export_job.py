@@ -19,14 +19,21 @@ def test_export_dataset_libsvm(spark, tmp_path):
     desc = json.load(open(os.path.join(out, "dataset.json")))
     assert desc["features"] == ["clicks", "cnt7", "ctr"]
     assert desc["dense_width"] == 4
-    # hold_last: one test ranking-row-group per user
     assert desc["rows"]["train"] + desc["rows"]["test"] == 200 * 2 * 12
-    lines = []
+    # hold_last holds WHOLE rankings: 200 users × 12 items go to test
+    assert desc["rows"]["test"] == 200 * 12
+    lines, part_qids = [], {}
     for d in ("train", "test"):
+        part_qids[d] = set()
         for f in os.listdir(os.path.join(out, d)):
             if f.startswith("part"):
-                lines += open(os.path.join(out, d, f)).read().splitlines()
+                rows = open(os.path.join(out, d, f)).read().splitlines()
+                lines += rows
+                part_qids[d] |= {r.split(" ")[1] for r in rows}
     assert len(lines) == 200 * 2 * 12
+    # no qid group may straddle train and test (leakage + invalid LTR
+    # eval groups — reference HoldLastStrategy holds whole clickthroughs)
+    assert not (part_qids["train"] & part_qids["test"])
     # every line: label qid:<int> then idx:val pairs with 1-based indices
     lab, qid, *pairs = lines[0].split(" ")
     assert float(lab) in (0.0, 1.0) and qid.startswith("qid:")

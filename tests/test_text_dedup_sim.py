@@ -163,3 +163,49 @@ def test_connected_components_chain_and_singleton(spark):
     }
     assert out["c"]["cluster_size"] == 3 and out["d"]["cluster_size"] == 1
     assert out["a"]["is_dup"] is False and out["b"]["is_dup"] is True
+
+
+def test_connected_components_storage_hygiene(spark):
+    """Storage audit: connected_components must not leave manually
+    persisted frames behind — repeated calls in one session (the
+    dedup_clusters + dedup_keep pattern) may not accumulate cached
+    partitions. Per-round frames are local-checkpointed (GC-managed),
+    never .persist()ed, so the only storage entries allowed after N calls
+    are checkpoint blocks awaiting the ContextCleaner — bounded, not
+    growing with rounds, and none carrying a user persist level."""
+    import re
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a: string, id_b: string"
+    )
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id: string")
+    import gc
+    import time
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def settled_count():
+        # checkpoint blocks are freed by the ContextCleaner once the
+        # frame is unreferenced on BOTH sides — force Python GC (releases
+        # the py4j handles) and JVM GC (lets the cleaner's weak refs
+        # fire), then poll until the count stops falling
+        for _ in range(40):
+            gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(0.25)
+            n = jsc.getPersistentRDDs().size()
+            if n == 0:
+                break
+        return n
+
+    before = settled_count()
+    for _ in range(2):
+        dd.connected_components(pairs, ids).collect()
+    after = settled_count()
+    # a persist leak grows by ≥1 entry per call (the old final-labels
+    # persist); GC-managed checkpoints settle back to the baseline
+    assert after <= before, f"persistent RDDs grew {before}->{after}"
+    src = open(dd.__file__.rstrip("c")).read()
+    assert not re.search(r"\.persist\(", src), (
+        "dedup.py must use GC-managed checkpoints, never bare .persist()"
+    )
