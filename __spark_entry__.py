@@ -162,9 +162,21 @@ def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
     strictly before), so the rate pools across every user in the same
     segment. Increments land in the segment the user was in AT the
     interaction; each view reads its user's segment as-of the view;
-    unknown segment → missing. Plan: one window pass to derive the
-    segment (shuffle on user), one window pass for the counters (shuffle
-    on segment) — same two-exchange shape at any scale."""
+    unknown segment → missing.
+
+    A segment key is LOW-cardinality — every segment is a hot entity at
+    scale — so no event-scale window may partition by the bare segment.
+    Plan: one window pass to derive the segment (shuffle on the
+    high-cardinality user key), then the segment-keyed counters in the
+    engine's salted two-pass shapes: strict running sums with
+    (segment, time-chunk) partitions + chunk-offset reassembly
+    (plans/prefix.salted_cumulative_sum), and the older-than-window
+    totals from a per-(segment, day) aggregate with a day-bucket RANGE
+    prefix (one row per segment-day — never event-scale) joined back.
+    Same outputs as the single-window form, pinned by the plan gate in
+    test_plans_quality."""
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
     ev = load_events(spark, sf, with_props=True)
     k_sig = F.when(
         F.col("event_type") == "signup", F.get_json_object("props", "$.k")
@@ -178,27 +190,36 @@ def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "ts_ms", "event_type",
         F.last(k_sig, ignorenulls=True).over(w_user).alias("fscope"),
     )
-    day = F.floor(F.col("ts_ms") / F.lit(MS_DAY))
     is_c = F.when(F.col("event_type") == "click", 1).otherwise(0)
     is_v = F.when(F.col("event_type") == "view", 1).otherwise(0)
-    run_strict = (
-        Window.partitionBy("fscope")
-        .orderBy("ts_ms", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # strict running totals per segment, chunk-salted (7-day chunks)
+    d = salted_cumulative_sum(
+        d, is_c, entity="fscope", order=("ts_ms", "event_id"),
+        chunk_ms=7 * MS_DAY, out="run_c", strictly_before=True,
     )
-    older = (
+    d = salted_cumulative_sum(
+        d, is_v, entity="fscope", order=("ts_ms", "event_id"),
+        chunk_ms=7 * MS_DAY, out="run_v", strictly_before=True,
+    )
+    # older-than-8-day totals: per-(segment, day) counts + a day-bucket
+    # RANGE prefix over the tiny aggregate frame, joined back on day
+    d = d.withColumn("day", F.floor(F.col("ts_ms") / F.lit(MS_DAY)))
+    per_day = d.groupBy("fscope", "day").agg(
+        F.sum(is_c).alias("__dc"), F.sum(is_v).alias("__dv")
+    )
+    w_old = (
         Window.partitionBy("fscope")
-        .orderBy(day)
+        .orderBy("day")
         .rangeBetween(Window.unboundedPreceding, -8)
     )
-    top7 = (
-        F.coalesce(F.sum(is_c).over(run_strict), F.lit(0))
-        - F.coalesce(F.sum(is_c).over(older), F.lit(0))
+    older_day = per_day.select(
+        "fscope", "day",
+        F.coalesce(F.sum("__dc").over(w_old), F.lit(0)).alias("older_c"),
+        F.coalesce(F.sum("__dv").over(w_old), F.lit(0)).alias("older_v"),
     )
-    bot7 = (
-        F.coalesce(F.sum(is_v).over(run_strict), F.lit(0))
-        - F.coalesce(F.sum(is_v).over(older), F.lit(0))
-    )
+    d = d.join(older_day, ["fscope", "day"], "left")
+    top7 = F.col("run_c") - F.coalesce(F.col("older_c"), F.lit(0))
+    bot7 = F.col("run_v") - F.coalesce(F.col("older_v"), F.lit(0))
     known = F.col("fscope").isNotNull()
     out = d.select(
         "event_id", "user_id", "ts_ms", "event_type", "fscope",
@@ -736,20 +757,33 @@ def q_rep_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PACK_CHUNK_DOCS = 512
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Training-sequence packing: lay each source's documents end-to-end
     in doc_id order and cut PACK_BUDGET-token training sequences at fixed
-    token offsets (seq_id = token_offset div budget). One partitioned
-    running sum per source — the same prefix shape the engine salts for
-    hot entities (plans/prefix.py) if one source ever dominates."""
-    seq = tx.tokenized_sequences(spark, sf)
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("doc_id").cast("long"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    token offsets (seq_id = token_offset div budget).
+
+    Every source is a hot entity by construction (~20 sources carrying
+    the whole corpus), so the per-source prefix sum runs the engine's
+    salted two-pass shape (plans/prefix.salted_cumulative_sum) with the
+    doc-id range as the monotone chunk key: within-(source, doc-range)
+    running sums over bounded tasks + a per-chunk-totals prefix (one row
+    per source × range — corpus/PACK_CHUNK_DOCS rows, never event-scale)
+    joined back. No window in the plan partitions an event-scale frame by
+    the bare source key (pinned by test_plans_quality). At a larger
+    corpus, scale PACK_CHUNK_DOCS with n_docs/(tasks·sources) so the
+    chunk-totals frame stays small relative to the corpus."""
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
+    seq = tx.tokenized_sequences(spark, sf).withColumn(
+        "__ord", F.col("doc_id").cast("long")
     )
-    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    packed = seq.withColumn("off", off).select(
+    packed = salted_cumulative_sum(
+        seq, F.col("n_tok"), entity="source", order=("__ord", "doc_id"),
+        chunk_ms=PACK_CHUNK_DOCS, out="off", strictly_before=True,
+    ).select(
         "source", "n_tok",
         F.expr(f"off div {PACK_BUDGET}").alias("seq_id"),
     )

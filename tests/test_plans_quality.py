@@ -105,3 +105,38 @@ def test_no_unpartitioned_windows_in_driver_queries(spark):
         if len(hits) > allowed.get(name, 0):
             offenders[name] = hits
     assert not offenders, f"global windows in: {offenders}"
+
+
+def test_no_event_scale_window_on_low_cardinality_keys(spark):
+    """Hot-key gate: a window partitioned by a BARE low-cardinality key
+    (document source, user segment) over an event-scale frame pins that
+    key's whole corpus slice to one task — the skew the salted two-pass
+    shape exists to avoid. The de-skewed queries may only use the bare
+    key (a) paired with a chunk-salt partition column on event-scale
+    frames or (b) alone on bucket-level aggregate frames, whose windows
+    sort by the bucket key (__salt / day), never by the event order.
+    """
+    import __spark_entry__ as em
+
+    # (query, low-card key, event-order sort columns that would mark an
+    # event-scale frame). The salted within-chunk windows partition by
+    # (key, __salt); the offset windows partition by the bare key but
+    # sort by the bucket key — so "bare key + event-order sort" is
+    # exactly the forbidden single-task shape.
+    cases = [
+        ("pack_sequences", "source", ("__ord", "doc_id")),
+        ("rate_field_scoped", "fscope", ("ts_ms", "event_id")),
+    ]
+    offenders = {}
+    for name, key, order_cols in cases:
+        plan = plan_of(em.queries()[name](spark, SF_SMALL))
+        for mm in re.finditer(r"windowspecdefinition\(([^)]{0,300})", plan):
+            frag = mm.group(1)
+            parts = frag.split(",")
+            bare = (
+                parts and key in parts[0]
+                and not any("__salt" in p for p in parts[:2])
+            )
+            if bare and any(oc in frag for oc in order_cols):
+                offenders.setdefault(name, []).append(frag[:120])
+    assert not offenders, f"bare hot-key windows over event order: {offenders}"
