@@ -53,7 +53,9 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     import __spark_entry__ as em
 
     spark = get_spark("metarank-spark-bench", parallelism=cpus, shuffle_partitions=cpus)
-    qs = em.queries()
+    # all_queries includes driver-retired redundant twins — the headline
+    # set stays comparable across rounds
+    qs = em.all_queries() if hasattr(em, "all_queries") else em.queries()
     names = [n for n in (names or HEADLINE) if n in qs]
 
     # warmup: small full pipeline to JIT/codegen before timing

@@ -47,17 +47,19 @@ def rows_canon(cols, rows):
     return out
 
 
-QUERY_NAMES = sorted(entrymod.queries().keys())
+# all_queries = registered (driver-checked) + driver-retired redundant
+# twins — locally EVERY query keeps its full DuckDB comparison
+QUERY_NAMES = sorted(entrymod.all_queries().keys())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
-    q = entrymod.queries()[name]
+    q = entrymod.all_queries()[name]
     sdf = q(spark, SF_SMALL)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
-    sql = entrymod.oracle_sql().get(name)
+    sql = entrymod.all_oracles().get(name)
     if sql is None:
         assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
         return

@@ -93,7 +93,7 @@ def test_no_unpartitioned_windows_in_driver_queries(spark):
     # spec is an offense.
     allowed: dict[str, int] = {}
     offenders = {}
-    for name, q in em.queries().items():
+    for name, q in em.all_queries().items():
         plan = plan_of(q(spark, SF_SMALL))
         hits = []
         for mm in re.finditer(r"Window \[(.{0,400})", plan):
