@@ -21,6 +21,7 @@ from dataclasses import dataclass, field as dc_field
 from metarank_spark.engine import (
     Boolean,
     Diversity,
+    FieldMatch,
     InteractedWith,
     InteractionCount,
     ItemAge,
@@ -29,8 +30,10 @@ from metarank_spark.engine import (
     Position,
     RandomFeature,
     Rate,
+    Referer,
     Relevancy,
     StringEncode,
+    UserAgent,
     Vector,
     WindowCount,
     WordCount,
@@ -40,10 +43,26 @@ _DUR_RE = re.compile(r"^\s*(\d+)\s*(ms|s|m|h|d)\s*$")
 _DUR_MS = {"ms": 1, "s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 
 UNSUPPORTED = {
-    "ua": "user-agent parse dictionaries are query-layer (functions/ua.py)",
-    "referer": "referer parsing is query-layer (functions/ua.py)",
-    "field_match": "field_match is query-layer (functions/text.py matchers)",
+    # ONNX runtimes are unavailable in this engine's environment; the
+    # cosine path is covered by the ANN queries (SURVEY.md §2 notes)
+    "field_match_bi_encoder": "ONNX bi-encoder inference is out of scope",
+    "field_match_cross_encoder": "ONNX cross-encoder inference is out of scope",
 }
+
+
+def _load_term_freq(path: str) -> dict:
+    """Read a BM25 TermFreq dictionary: our build_term_freq format
+    ({n_docs, avgdl, df}) or the reference termfreq CLI artifact
+    ({docs, avgdl, termfreqs} — BM25Matcher.TermFreqDic)."""
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    return {
+        "n_docs": raw.get("n_docs", raw.get("docs")),
+        "avgdl": raw["avgdl"],
+        "df": raw.get("df", raw.get("termfreqs", {})),
+    }
 
 
 def parse_duration_ms(v: int | str) -> int:
@@ -200,6 +219,44 @@ def parse_feature(entry: dict):
         src, fld = _split_source(entry["source"])
         reducers = entry.get("reduce", ("min", "max", "size", "avg"))
         return Vector(name, fld, reducers=tuple(reducers), source=src, ttl_ms=ttl)
+    if tpe == "ua":
+        # UserAgentSchema (UserAgentFeature.scala:73-85): source +
+        # field (platform|os|browser|bot); scope is always session
+        _, fld = _split_source(entry["source"])
+        return UserAgent(name, fld, mapper=entry["field"], ttl_ms=ttl)
+    if tpe == "referer":
+        # RefererSchema (RefererFeature.scala:119-126): source + scope
+        src, fld = _split_source(entry["source"])
+        scope = entry.get("scope", "user")
+        if scope not in ("user", "session"):
+            raise ValueError(
+                f"referer scope must be user|session, got {scope!r} "
+                "(RefererFeature value() reads only those scopes)"
+            )
+        return Referer(name, fld, scope=scope, source=src, ttl_ms=ttl)
+    if tpe == "field_match":
+        # FieldMatchSchema (FieldMatchFeature.scala:97-115): rankingField
+        # vs itemField with a method block (term|ngram|bm25)
+        rhead, rfld = _split_source(entry["rankingField"])
+        ihead, ifld = _split_source(entry["itemField"])
+        if rhead != "ranking" or ihead != "item":
+            raise ValueError(
+                "field_match needs rankingField: ranking.<f> and "
+                f"itemField: item.<f>, got {entry['rankingField']!r} / "
+                f"{entry['itemField']!r}"
+            )
+        m = entry.get("method") or {"type": "term"}
+        mtype = m.get("type", "term")
+        if mtype not in ("term", "ngram", "bm25"):
+            raise ValueError(
+                f"field matching method {mtype!r} is not supported "
+                "(FieldMatcherType registry; bi/cross encoders need ONNX)"
+            )
+        tf = _load_term_freq(m["termFreq"]) if mtype == "bm25" else None
+        return FieldMatch(
+            name, rfld, ifld, method=mtype, n=int(m.get("n", 3)),
+            term_freq=tf, ttl_ms=ttl,
+        )
     raise ValueError(f"feature type {tpe!r} is not supported (FeatureSchema registry)")
 
 

@@ -298,6 +298,56 @@ class InteractedWith:
     duration_ms: int = DAY_MS
 
 
+@dataclass(frozen=True)
+class UserAgent:
+    """ua (UserAgentFeature.scala:30-86): classify a UA string field into
+    the ``mapper`` taxonomy (platform|os|browser|bot) and one-hot encode
+    over its possible values. Session-scoped scalar state (the reference
+    pins SessionScopeType); ANY feedback event (ranking or interaction)
+    carrying the source field writes (:40-50); the ranking prefers stored
+    session state and falls back to parsing its own field (:55-66)."""
+    name: str
+    field: str
+    mapper: str = "platform"
+    ttl_ms: int | None = None
+
+
+@dataclass(frozen=True)
+class Referer:
+    """referer (RefererFeature.scala:41-113): referer URL → medium
+    category index (unknown=0 search=1 internal=2 social=3 email=4
+    paid=5). user|session-scoped scalar state; writes come from the
+    configured source event type; a ranking with no stored state reads
+    unknown=0 (:111 getOrElse)."""
+    name: str
+    field: str
+    scope: str = "user"   # user | session
+    source: str = "ranking"  # ranking | interaction | any
+    ttl_ms: int | None = None
+
+
+@dataclass(frozen=True, eq=True)
+class FieldMatch:
+    """field_match (FieldMatchFeature.scala:28-95): score the ranking's
+    query field against the item's stored string field with the
+    configured matcher (matcher/TermMatcher, NgramMatcher.scala:10-28,
+    BM25Matcher.scala:26-40). Item-scoped scalar state: item events
+    carrying ``item_field`` write; both sides tokenize with the same
+    matcher at read. ``term_freq``: prebuilt TermFreq dict for bm25
+    ({n_docs, avgdl, df} — functions/text.build_term_freq or the
+    reference termfreq CLI artifact)."""
+    name: str
+    ranking_field: str
+    item_field: str
+    method: str = "term"  # term | ngram | bm25
+    n: int = 3
+    term_freq: "dict | None" = None
+    ttl_ms: int | None = None
+
+    def __hash__(self):  # dict field is unhashable; hash by identity keys
+        return hash((self.name, self.ranking_field, self.item_field, self.method))
+
+
 FeatureConfig = (
     WindowCount | InteractionCount | Rate | Number | Boolean | StringEncode
     | ItemAge | WordCount | Relevancy | Position | InteractedWith
@@ -858,6 +908,12 @@ class FeatureEngine:
             return None if cfg.source == "ranking" else cfg.source
         if isinstance(cfg, ItemAge):
             return "item"
+        if isinstance(cfg, UserAgent):
+            return "session"  # UserAgentSchema pins SessionScopeType
+        if isinstance(cfg, Referer):
+            return cfg.scope
+        if isinstance(cfg, FieldMatch):
+            return "item"
         if isinstance(cfg, (Stats, Freq, RecentItems)):
             # pool features need last-N-WRITES frames, so each gets its own
             # writes stream (its window must not see other features' writes)
@@ -1280,6 +1336,79 @@ class FeatureEngine:
                 fin = lambda c, n=f"{cfg.name}__v", d=dim, rv=reduce_vec: F.when(
                     c[n].isNull(), _nan_array(d)).otherwise(rv(c[n]))
                 wc = {f"{cfg.name}__v": F.col(pname)}
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
+                feats.append(MergedFeature(cfg.name, wc, fin))
+            elif isinstance(cfg, UserAgent):
+                from metarank_spark.functions.ua import UA_VALUES, ua_category
+
+                head = F.col("str_fields").getItem(cfg.field).getItem(0)
+                val = ua_category(head, cfg.mapper)
+                is_feedback = F.col("event_type").isin("ranking", "interaction")
+                pname = f"__p_{cfg.name}"
+                payloads[pname] = F.when(is_feedback, val)
+                preds.append(is_feedback & val.isNotNull())
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                vals = UA_VALUES[cfg.mapper]
+                own = ua_category(
+                    F.col("__rk_str").getItem(cfg.field).getItem(0), cfg.mapper
+                )
+                fin = lambda c, n=f"{cfg.name}__v", vs=vals, o=own: F.array(*[  # noqa: E731,E501
+                    F.when(F.coalesce(c[n], o) == v, 1.0).otherwise(0.0)
+                    for v in vs
+                ])
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
+                feats.append(MergedFeature(cfg.name, wc, fin))
+            elif isinstance(cfg, Referer):
+                from metarank_spark.functions.ua import (
+                    referer_medium,
+                    referer_medium_index,
+                )
+
+                head = F.col("str_fields").getItem(cfg.field).getItem(0)
+                src_pred = {
+                    "ranking": F.col("event_type") == "ranking",
+                    "interaction": F.col("event_type") == "interaction",
+                }.get(cfg.source,
+                      F.col("event_type").isin("ranking", "interaction"))
+                pname = f"__p_{cfg.name}"
+                payloads[pname] = F.when(src_pred, referer_medium(head))
+                preds.append(src_pred & head.isNotNull())
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                fin = lambda c, n=f"{cfg.name}__v": referer_medium_index(c[n])  # noqa: E731,E501
+                wc, fin = self._ttl_wrap(
+                    cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
+                feats.append(MergedFeature(cfg.name, wc, fin))
+            elif isinstance(cfg, FieldMatch):
+                from metarank_spark.functions.text import (
+                    bm25_score_cols,
+                    ngram_match_cols,
+                    term_match_cols,
+                )
+
+                head = F.col("str_fields").getItem(cfg.item_field).getItem(0)
+                pname = f"__p_{cfg.name}"
+                payloads[pname] = F.when(F.col("event_type") == "item", head)
+                preds.append((F.col("event_type") == "item") & head.isNotNull())
+                wc = {f"{cfg.name}__v": F.col(pname)}
+                q = F.col("__rk_str").getItem(cfg.ranking_field).getItem(0)
+                if cfg.method == "ngram":
+                    score = lambda s, qq, cfg=cfg: ngram_match_cols(s, qq, cfg.n)  # noqa: E731,E501
+                elif cfg.method == "bm25":
+                    if not cfg.term_freq:
+                        raise ValueError(
+                            f"field_match {cfg.name!r}: bm25 needs a "
+                            "termFreq dictionary (build_term_freq / the "
+                            "termfreq CLI artifact)"
+                        )
+                    score = lambda s, qq, cfg=cfg: bm25_score_cols(  # noqa: E731
+                        s, qq, cfg.term_freq)
+                else:
+                    score = term_match_cols
+                fin = lambda c, n=f"{cfg.name}__v", qq=q, sc=score: F.when(  # noqa: E731,E501
+                    c[n].isNull() | qq.isNull(), nan
+                ).otherwise(sc(c[n], qq))
                 wc, fin = self._ttl_wrap(
                     cfg, wc, fin, {f"{cfg.name}__v": F.col(pname).isNotNull()})
                 feats.append(MergedFeature(cfg.name, wc, fin))

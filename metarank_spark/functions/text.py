@@ -244,3 +244,60 @@ def langid_expr(text: Column | str) -> Column:
         .when(scores["es"] >= scores["de"], F.lit("es"))
         .otherwise(F.lit("de"))
     )
+
+
+# ---- column-vs-column field_match scorers (engine path) ----
+# The oracle queries above score against a FIXED query string (grams
+# precomputed driver-side); the YAML engine's field_match scores the
+# RANKING's own query field (a per-row column) against the item's stored
+# field, so both sides tokenize in-expression with the same matcher
+# (FieldMatchFeature.scala:41-54).
+
+def term_match_cols(stored: Column, query: Column) -> Column:
+    """matcher/TermMatcher: Jaccard over the distinct word sets."""
+    a = F.array_distinct(words_expr(stored))
+    b = F.array_distinct(words_expr(query))
+    return F.round(
+        F.size(F.array_intersect(a, b))
+        / F.nullif(F.size(F.array_union(a, b)).cast("double"), F.lit(0.0)),
+        6,
+    )
+
+
+def ngram_match_cols(stored: Column, query: Column, n: int = 3) -> Column:
+    """matcher/NgramMatcher.scala:10-28: Jaccard over char-n-gram sets of
+    both sides."""
+    a = char_ngrams_expr(stored, n)
+    b = char_ngrams_expr(query, n)
+    return F.round(
+        F.size(F.array_intersect(a, b))
+        / F.nullif(F.size(F.array_union(a, b)).cast("double"), F.lit(0.0)),
+        6,
+    )
+
+
+def bm25_score_cols(stored: Column, query: Column, dic: dict,
+                    k1: float = 1.2, b: float = 0.75) -> Column:
+    """BM25 of a per-row query column against the stored field, using a
+    prebuilt TermFreq dict (BM25Matcher.scala:26-40; dict format =
+    build_term_freq / the reference's termfreq CLI artifact). The df map
+    becomes a map literal — fine for the bounded dictionaries the CLI
+    emits; for an unbounded vocabulary join the term_df table instead."""
+    items = [x for kv in dic["df"].items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    dmap = F.create_map(*items) if items else F.create_map().cast("map<string,int>")
+    n_docs = float(dic["n_docs"])
+    avgdl = float(dic["avgdl"])
+    wq = F.array_distinct(words_expr(query))
+    ws = words_expr(stored)
+    dl = F.size(ws).cast("double")
+
+    def one(acc, t):
+        dfc = F.coalesce(F.element_at(dmap, t), F.lit(0)).cast("double")
+        idf = F.log(F.lit(1.0) + (F.lit(n_docs) - dfc + 0.5) / (dfc + 0.5))
+        tf = F.size(F.filter(ws, lambda x: x == t)).cast("double")
+        return acc + idf * (
+            tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * dl / F.lit(avgdl)))
+        )
+
+    return F.round(F.aggregate(wq, F.lit(0.0), one), 6)

@@ -125,3 +125,47 @@ def referer_medium(referer: Column | str, own_host: str | None = None) -> Column
     if own_host:
         med = med.when(host == own_host.lower(), "internal")
     return med.otherwise("unknown")
+
+
+# One-hot taxonomies (the UAField possibleValues of each mapper). Note on
+# 'os': the reference's OSField.possibleValues returns the uap FAMILY
+# names ("iOS", "Mac OS X", ...) while its stored values are the mapped
+# lowercase names — a mismatch that makes the reference's os one-hot
+# unable to match its own writes; we encode over the stored (mapped)
+# values instead (ua/OSField.scala:8-23).
+UA_VALUES = {
+    "platform": ("mobile", "desktop", "tablet"),   # PlatformField.scala:42
+    "os": ("ios", "android", "windows", "osx", "linux", "chromeos"),
+    "browser": ("safari", "chrome", "other", "edge", "firefox", "opera", "ie"),
+    "bot": ("bot",),                               # BotField.scala:25
+}
+
+# RefererFeature.scala:50-57 possibleValues index map (CategoryValue)
+REFERER_MEDIUM_INDEX = {
+    "unknown": 0, "search": 1, "internal": 2, "social": 3, "email": 4,
+    "paid": 5,
+}
+
+
+def ua_category(ua: Column | str, mapper: str) -> Column:
+    """Dispatch a UA string to its ``mapper`` taxonomy category (the
+    UAField.value call of UserAgentFeature.parse); unknown → null."""
+    if mapper == "platform":
+        return ua_platform(ua)
+    if mapper == "os":
+        return ua_os(ua)
+    if mapper == "browser":
+        return ua_browser(ua)
+    if mapper == "bot":
+        return F.when(ua_is_bot(ua), F.lit("bot")).otherwise(_null())
+    raise ValueError(f"ua field must be platform|os|browser|bot, got {mapper!r}")
+
+
+def referer_medium_index(medium: Column) -> Column:
+    """Stored medium string → CategoryValue index
+    (RefererFeature.value :96-111; missing state reads as unknown=0)."""
+    out = F.lit(None).cast("double")
+    expr = F.when(F.lit(False), out)
+    for name, idx in REFERER_MEDIUM_INDEX.items():
+        expr = expr.when(medium == name, float(idx))
+    return F.coalesce(expr, F.lit(0.0))

@@ -81,8 +81,13 @@ def test_durations_and_errors():
     assert parse_duration_ms(42) == 42
     with pytest.raises(ValueError):
         parse_duration_ms("yesterday")
+    # ua now parses (requires source + field); ONNX encoders stay out
+    cfg = load_config(
+        "features:\n  - {name: x, type: ua, source: ranking.ua, field: browser}"
+    )
+    assert cfg.features[0].mapper == "browser"
     with pytest.raises(NotImplementedError):
-        load_config("features:\n  - {name: x, type: ua, field: browser}")
+        load_config("features:\n  - {name: x, type: field_match_bi_encoder}")
     # field scopes are supported on rate (ScopedRateFeatureTest parity) —
     # but only with item./ranking. heads, and only on the counter types
     cfg = load_config(
