@@ -833,8 +833,25 @@ class FeatureEngine:
             out = self._run_scope_group(
                 events, out, scope, cfgs, series=(series or {}).get(scope)
             )
+        # legacy (join-path) features compute against the PRISTINE base,
+        # then join their output columns in by (ranking, position). The
+        # attach internals reference their input frame several times
+        # (as-of join + join-back), so chaining them onto the ACCUMULATED
+        # frame would copy the whole accumulated plan tree into every
+        # feature — Catalyst transforms trees, not DAGs, and analysis
+        # time explodes exponentially with attach-path feature count (the
+        # RankLens config's 12 attach features took analysis from
+        # milliseconds to minutes). Per-feature trees stay O(base+events)
+        # and the total plan grows linearly; the shuffle count is
+        # unchanged (one join per legacy feature either way).
+        base_cols = set(base.columns)
         for cfg in legacy:
-            out = self._attach(out, rankings, events, cfg)
+            att = self._attach(base, rankings, events, cfg)
+            new_cols = [c for c in att.columns if c not in base_cols]
+            out = out.join(
+                att.select("ranking_id", "position", *new_cols),
+                ["ranking_id", "position"], "left",
+            )
         for cfg in trivial:
             out = self._attach(out, rankings, events, cfg)
         out = out.drop("__ov_str", "__ov_num", "__rk_str", "__rk_num")
