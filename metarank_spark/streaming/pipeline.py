@@ -58,6 +58,58 @@ def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataF
     )
 
 
+def stream_source(spark: SparkSession, fmt: str,
+                  options: dict | None = None) -> DataFrame:
+    """Raw broker-style streaming source: any readStream format that emits
+    message payloads (kafka / kinesis-connector / socket / rate / text).
+    No schema is imposed — broker sources define their own (kafka: key,
+    value, topic, partition, offset, timestamp)."""
+    reader = spark.readStream.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def decode_wire_stream(raw: DataFrame, payload, seq) -> DataFrame:
+    """Message-payload stream → canonical event stream, decoded with the
+    SAME wire decoder as the batch path (sources/wire.parse_wire_json —
+    source/format/JsonFormat.scala parity).
+
+    ``payload``: Column holding one wire-format JSON event per message
+    (kafka: ``col("value").cast("string")``). ``seq``: Column providing
+    the commit order within the stream — kafka's ``offset`` (per
+    partition, combine with ``partition`` upstream if topic-global order
+    matters); the batch reader's monotonically_increasing_id is not
+    available on streams."""
+    from metarank_spark.sources.wire import parse_wire_json
+
+    parsed = raw.select(
+        *parse_wire_json(payload),
+        seq.cast("long").alias("seq"),
+    )
+    return parsed.select([f.name for f in EVENT_SCHEMA.fields])
+
+
+def stream_wire_events(spark: SparkSession, fmt: str,
+                       options: dict | None = None,
+                       value_col: str = "value",
+                       seq_col: str = "offset") -> DataFrame:
+    """Broker-format streaming ingest (source/KafkaSource.scala:26
+    analog), e.g. on a real cluster:
+
+        stream_wire_events(spark, "kafka", {
+            "kafka.bootstrap.servers": "...", "subscribe": "events",
+            "startingOffsets": "earliest"})
+
+    No broker exists in this sandbox; tests drive the identical decode
+    path through Spark's built-in ``rate`` source
+    (tests/test_streaming_multimodal.py)."""
+    raw = stream_source(spark, fmt, options)
+    return decode_wire_stream(
+        raw, F.col(value_col).cast("string"), F.col(seq_col)
+    )
+
+
 def _make_counter_fn(refresh_ms: int):
     def _counter_fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState

@@ -397,3 +397,63 @@ def test_multimodal_frame_sampling_plumbing(spark):
     # the real-codec branch is an explicit stub
     with pytest.raises(Exception, match="video codec"):
         sample_frames(media, fake=False).collect()
+
+
+def test_broker_format_wire_decode_smoke(spark):
+    """Connector-path smoke (KafkaSource.scala:26 analog): drive the
+    broker-style ingest through a NON-file streaming format — Spark's
+    built-in `rate` source stands in for a broker, each tick mapped to a
+    wire-format JSON message — and assert the stream decodes through the
+    same parse_wire_json path the batch reader uses, into the canonical
+    schema, with ticks as the commit sequence (kafka: offset)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from metarank_spark.events import EVENT_SCHEMA
+    from metarank_spark.streaming.pipeline import (
+        decode_wire_stream,
+        stream_source,
+    )
+
+    raw = stream_source(spark, "rate", {"rowsPerSecond": 200})
+    payload = F.format_string(
+        '{"event":"interaction","id":"e%s","timestamp":"%s",'
+        '"type":"click","item":"p%s","user":"u%s","session":"s1",'
+        '"fields":[{"name":"k","value":"v%s"}]}',
+        F.col("value"),
+        (F.lit(1_700_000_000_000) + F.col("value")).cast("string"),
+        F.pmod(F.col("value"), F.lit(5)),
+        F.pmod(F.col("value"), F.lit(3)),
+        F.pmod(F.col("value"), F.lit(2)),
+    )
+    ev = decode_wire_stream(raw, payload, F.col("value"))
+    assert [f.name for f in ev.schema.fields] == [f.name for f in EVENT_SCHEMA.fields]
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("wire_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM wire_smoke").collect()[0]["c"]
+            if n >= 20:
+                break
+            time.sleep(0.5)
+        assert n >= 20, f"rate-source stream produced only {n} rows"
+        rows = {
+            r["seq"]: r
+            for r in spark.sql("SELECT * FROM wire_smoke").collect()
+        }
+    finally:
+        q.stop()
+    r7 = rows[7]
+    assert r7["event_id"] == "e7"
+    assert r7["event_type"] == "interaction"
+    assert r7["interaction_type"] == "click"
+    assert r7["ts_ms"] == 1_700_000_000_007
+    assert r7["item_id"] == "p2" and r7["user_id"] == "u1"
+    assert r7["str_fields"]["k"] == ["v1"]
