@@ -41,6 +41,7 @@ from metarank_spark.operators.clickthrough import training_matrix
 
 cpus = {cpus}
 users = {users}
+cae = {cae}
 spark = get_spark("scaling-bench", parallelism=cpus, shuffle_partitions=cpus * 4)
 ev = spark.read.parquet("/tmp/scaling_events_{users}.parquet")
 engine = FeatureEngine([
@@ -48,7 +49,7 @@ engine = FeatureEngine([
     WindowCount("cnt7", "click", (7,)),
     Rate("ctr", "click", "impression", (7, 14)),
 ])
-tm = training_matrix(ev, engine)
+tm = training_matrix(ev, engine, commit_at_expiry=cae)
 tm.write.format("noop").mode("overwrite").save()  # warmup (JIT/codegen)
 best = None
 for _ in range(2):  # best-of-2: damp page-cache / scheduling noise
@@ -76,12 +77,27 @@ def generate(users: int) -> None:
         raise RuntimeError(f"datagen failed:\n{out.stderr[-3000:]}")
 
 
-def run_level(cpus: int, users: int) -> dict:
-    out = _sub(CHILD.format(repo=REPO, cpus=cpus, users=users), cpus)
+def run_level(cpus: int, users: int, cae: bool = True) -> dict:
+    out = _sub(CHILD.format(repo=REPO, cpus=cpus, users=users, cae=cae), cpus)
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     if not lines:
         raise RuntimeError(f"child failed:\n{out.stderr[-3000:]}")
     return json.loads(lines[-1])
+
+
+def _ladder(pairs_spec: str, users: int, cae: bool):
+    levels: dict[int, dict] = {}
+    pairs = []
+    for spec in pairs_spec.split(","):
+        lo_c, hi_c = (int(x) for x in spec.split(":"))
+        for c in (lo_c, hi_c):
+            if c not in levels:
+                levels[c] = run_level(c, users, cae)
+        lo, hi = levels[lo_c], levels[hi_c]
+        factor = hi_c / lo_c
+        eff = hi["rows_per_sec"] / (factor * lo["rows_per_sec"])
+        pairs.append({"low": lo, "high": hi, "factor": factor, "efficiency": round(eff, 3)})
+    return levels, pairs
 
 
 def main() -> int:
@@ -89,22 +105,20 @@ def main() -> int:
     ap.add_argument("--users", type=int, default=500_000)
     ap.add_argument("--pairs", default="4:16,8:32",
                     help="comma list of low:high core pairs (each a 4x step)")
+    ap.add_argument("--isolate-expiry", action="store_true",
+                    help="also run the ladder with commit_at_expiry=False "
+                    "to split anchor-machinery cost from host bandwidth")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
     generate(args.users)
-    levels: dict[int, dict] = {}
-    pairs = []
-    for spec in args.pairs.split(","):
-        lo_c, hi_c = (int(x) for x in spec.split(":"))
-        for c in (lo_c, hi_c):
-            if c not in levels:
-                levels[c] = run_level(c, args.users)
-        lo, hi = levels[lo_c], levels[hi_c]
-        factor = hi_c / lo_c
-        eff = hi["rows_per_sec"] / (factor * lo["rows_per_sec"])
-        pairs.append({"low": lo, "high": hi, "factor": factor, "efficiency": round(eff, 3)})
-    print(json.dumps({"levels": list(levels.values()), "pairs": pairs}))
+    levels, pairs = _ladder(args.pairs, args.users, cae=True)
+    iso = None
+    if args.isolate_expiry:
+        iso_levels, iso_pairs = _ladder(args.pairs, args.users, cae=False)
+        iso = {"levels": list(iso_levels.values()), "pairs": iso_pairs}
+    print(json.dumps({"levels": list(levels.values()), "pairs": pairs,
+                      "no_expiry": iso}))
 
     rows = "\n".join(
         f"| local[{c}] | {m['rows']} | {m['sec']} | {m['rows_per_sec']} |"
@@ -116,6 +130,37 @@ def main() -> int:
         for p in pairs
     )
     best = max(pairs, key=lambda p: p["efficiency"])
+    iso_block = ""
+    if iso:
+        iso_pair_rows = "\n".join(
+            f"| {p['low']['cpus']}→{p['high']['cpus']} ({p['factor']:.0f}x) | "
+            f"{p['low']['rows_per_sec']} → {p['high']['rows_per_sec']} | "
+            f"**{p['efficiency']:.3f}** |"
+            for p in iso["pairs"]
+        )
+        deltas = []
+        for p, q in zip(pairs, iso["pairs"]):
+            deltas.append(
+                f"{p['low']['cpus']}→{p['high']['cpus']}: "
+                f"{p['efficiency']:.3f} (expiry) vs {q['efficiency']:.3f} "
+                f"(no expiry), Δ{q['efficiency'] - p['efficiency']:+.3f}"
+            )
+        iso_block = f"""
+## Expiry-anchor isolation (commit_at_expiry=False ladder)
+
+The same ladder with impression injection committing at completion
+instead of session expiry — removing the anchored-periodic machinery —
+splits plan cost from host memory bandwidth:
+
+| N→4N pair | throughput | efficiency |
+|---|---|---|
+{iso_pair_rows}
+
+Deltas: {"; ".join(deltas)}. If the no-expiry ladder scales no better,
+the wide-pair falloff is the shared-memory host (bandwidth saturation),
+not the anchor windows; if it scales materially better, the anchor fold
+is the bottleneck stage to optimize next.
+"""
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     # preserve manually maintained sections (end-to-end backfill, two-phase,
     # linearity) below the scaling block when regenerating
@@ -165,6 +210,7 @@ events/s (BASELINE.md import table). This engine at 16 threads emits
 ~560k feature rows/s — roughly 35k rows/s per core, i.e. >100x the
 reference per-core rate at identical semantics (golden-tested).
 """)
+        fh.write(iso_block)
         fh.write(tail)
     return 0
 
