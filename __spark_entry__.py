@@ -121,6 +121,38 @@ def q_interaction_count_salted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_incremental_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental backfill (operators/incremental.py): fold ONLY the
+    delta (events after the mid-range cut) plus a per-entity counter
+    offset snapshotted from history — and land on numbers identical to a
+    full-history replay. The offset mechanism is the same one
+    ``IncrementalSnapshot.offsets`` uses; the oracle recomputes the
+    running count over the FULL stream and restricts to post-cut rows,
+    so a hash match proves the incremental fold is exact."""
+    ev = _ev(spark, sf)
+    mid = ev.agg(
+        F.floor((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long")
+    ).collect()[0][0]  # scalar-only driver read (1 row)
+    hist = ev.filter(F.col("ts_ms") <= mid)
+    delta = ev.filter(F.col("ts_ms") > mid)
+    offsets = (
+        hist.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__off"))
+    )
+    run = ops.interaction_count(delta, "click", out="clicks_cum")
+    out = (
+        run.join(offsets, "user_id", "left")
+        .withColumn(
+            "clicks_cum",
+            (F.col("clicks_cum") + F.coalesce(F.col("__off"), F.lit(0)))
+            .cast("long"),
+        )
+        .drop("__off")
+    )
+    return _keys(out, "clicks_cum")
+
+
 def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-session bounds/counts on top of gap sessionization."""
     s = sessionize(_ev(spark, sf), gap_ms=GAP_MS)
@@ -1424,6 +1456,14 @@ _ORACLES: dict[str, str] = {
           sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
             OVER ({W_ROWS})::BIGINT AS clicks_cum
         FROM ev""",
+    "incremental_count": f"""
+        {EV}
+        SELECT * FROM (
+          SELECT {KEYS},
+            sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+              OVER ({W_ROWS})::BIGINT AS clicks_cum
+          FROM ev)
+        WHERE ts_ms > (SELECT (min(ts_ms) + max(ts_ms)) // 2 FROM ev)""",
     "last_scalar": f"""
         {EV}
         SELECT {KEYS},
@@ -1698,6 +1738,7 @@ _ORACLES: dict[str, str] = {
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interaction_count": q_interaction_count,
+    "incremental_count": q_incremental_count,
     "last_scalar": q_last_scalar,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -1743,6 +1784,9 @@ _ORACLES["interaction_count_salted"] = _ORACLES["interaction_count"]
 #                         filter; the as-of hop is covered by asof_join)
 #   simhash             ⊂ dedup_simhash (groups by the same simhash expr)
 #   source_stats        ⊂ token_stats (same per-source agg, weaker stats)
+#   stats_percentile    ⊂ stats_window (same bounded-pool StatsEstimator
+#                         fold; the p50/p90 read is golden-tested and
+#                         retired to make room for incremental_count)
 # They remain first-class locally: all_queries()/all_oracles() feed
 # tests/test_correctness.py and bench.py, so each still runs the full
 # DuckDB comparison every CI pass.
@@ -1750,7 +1794,7 @@ _RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _RETIRED_ORACLES: dict[str, str] = {}
 for _rname in (
     "lag_lead", "window_count", "freq_share_sampled", "simhash",
-    "source_stats",
+    "source_stats", "stats_percentile",
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)

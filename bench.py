@@ -26,6 +26,7 @@ HEADLINE = [
     "rate_field_scoped",
     "sessionize",
     "interaction_count",
+    "incremental_count",
     "asof_join",
     "bounded_list",
     "trending",

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 FEATURE_TYPES = None  # populated after imports (spark-submit path setup)
@@ -101,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--materialize-series", action="store_true",
                     help="two-phase: fold each scope group's write-value series once, "
                          "then run assembly-only per range")
+    ap.add_argument("--snapshot-out",
+                    help="build an incremental-backfill snapshot of the "
+                         "input events at --snapshot-t0 and write it here "
+                         "(operators/incremental.py), then exit — the "
+                         "once-per-checkpoint pass that makes later "
+                         "deltas fold in O(delta + horizon)")
+    ap.add_argument("--snapshot-t0", type=int,
+                    help="epoch-ms history cut for --snapshot-out")
+    ap.add_argument("--from-snapshot",
+                    help="incremental mode: treat the input events as the "
+                         "DELTA (ts > snapshot t0), fold them on the "
+                         "snapshot at this path, and write the delta's "
+                         "training matrix to --output — bit-identical to "
+                         "a full-history replay restricted to the delta")
     args = ap.parse_args(argv)
 
     from metarank_spark.checkpoint import backfill, load_manifests
@@ -145,6 +160,49 @@ def main(argv: list[str] | None = None) -> int:
         engine = FeatureEngine(parse_features(spec),
                                hot_chunk_ms=args.hot_chunk_ms or None,
                                hot_entities=hot_entities)
+
+    if args.snapshot_out:
+        if args.snapshot_t0 is None:
+            ap.error("--snapshot-out needs --snapshot-t0 (epoch ms)")
+        from metarank_spark.operators.incremental import (
+            save_snapshot,
+            snapshot,
+        )
+
+        t0 = time.perf_counter()
+        snap = snapshot(events, args.snapshot_t0, engine)
+        save_snapshot(snap, args.snapshot_out)
+        print(json.dumps({
+            "snapshot": args.snapshot_out,
+            "t0_ms": snap.t0_ms,
+            "horizon_ms": snap.horizon_ms,
+            "tail_rows": snap.tail.count(),
+            "offset_features": sorted(snap.offsets),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
+
+    if args.from_snapshot:
+        from pyspark.sql import functions as F
+
+        from metarank_spark.operators.incremental import (
+            incremental_training_matrix,
+            load_snapshot,
+        )
+
+        t0 = time.perf_counter()
+        snap = load_snapshot(spark, args.from_snapshot)
+        delta = events.filter(F.col("ts_ms") > snap.t0_ms)
+        out = incremental_training_matrix(snap, delta, engine)
+        out.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).count()
+        wall = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "incremental": True, "t0_ms": snap.t0_ms, "rows": rows,
+            "wall_sec": wall,
+            "rows_per_sec": round(rows / wall, 1) if wall else None,
+        }))
+        return 0
 
     completed = backfill(
         events, engine, args.output, n_ranges=args.n_ranges, entity=args.entity,

@@ -1,0 +1,562 @@
+"""Incremental backfill: fold ONLY new events on top of a compact history
+snapshot and produce feature rows bit-identical to a full-history replay.
+
+The production pattern at warehouse scale: a feature pipeline that
+reprocesses its entire event history for every daily delta does O(history)
+work per day; this module makes the daily fold O(delta + horizon) and
+*invariant to history length*, while keeping the engine's exactness
+contract (the incremental matrix equals ``training_matrix`` over the full
+stream restricted to rankings after the cut — property-tested in
+tests/test_incremental.py).
+
+Reference anchor: the reference achieves the same incrementality online —
+its state store IS the snapshot (FeatureValue keys persisted in Redis,
+``metarank import`` appending to them; feature/FeatureBackend semantics).
+This is the batch restatement: the "state" a replay needs is reconstructed
+as a *bounded retained event set* plus *counter offsets*, because every
+reference primitive reads bounded state:
+
+- PeriodicCounter / window rates read trailing-bucket sums anchored at the
+  last write's bucket (model/Feature.scala:139-161) → retain each
+  entity's last write PLUS its window context (writes within
+  ``max(periods)`` buckets of the entity's last bucket). A later read
+  carries that write's vector unchanged, so the retained context
+  reproduces it exactly; delta-era reads only ever sum buckets younger
+  than the horizon.
+- Counter reads the lifetime count (MemCounter.scala:13-22) → retain the
+  last write (key existence + TTL freshness) and carry the remainder as a
+  per-entity integer offset added to the replayed column.
+- Scalar / Map read the latest value (strictly-before) → retain the last
+  event carrying the field per entity (per map key for MapFeature).
+- Stats / Freq / BoundedList read a last-K pool
+  (model/Feature.scala:112-126, 213-234; MemBoundedList.scala:18-37) →
+  retain the last K matching (hash-accepted, so replay-deterministic)
+  events per entity.
+
+Clickthrough completeness: impression injection
+(operators/clickthrough.inject_impressions) groups a ranking with ALL its
+interactions, so the snapshot pulls the complete clickthrough for any
+ranking touched inside the horizon window (the ranking event and its
+out-of-window interactions). Sessions that straddle the cut re-inject at
+incremental time with their delta interactions attached; their commit
+timestamps land after the cut in both the full and the incremental run, so
+offsets (counted at commit ≤ t0) stay consistent — exact under the
+reference's own session-expiry contract (TrainBuffer.scala:160-167: an
+interaction arriving after the buffer expired is dropped, i.e. no
+attribution later than last_interaction + maxSessionLength).
+
+Scale shape: snapshot construction is one pass over history (amortized —
+it IS the checkpoint operation); every retention rule is a grouped
+aggregation or a chunk-decomposed last-K (two bounded row_number windows,
+never one task per whole entity history); the incremental fold runs the
+unchanged engine over tail ∪ delta. Offsets join the OUTPUT matrix on its
+entity column — a plain equi-join on the same key the matrix is already
+hashed by.
+
+Restrictions (raise at snapshot time):
+- ``InteractionCount`` with ``ttl_ms`` set is unsupported (an expired key
+  must read 0.0, which a post-hoc offset join cannot reproduce); windowed
+  features support TTL fine (freshness rides on the retained last write).
+- Field-scoped counter scopes (``item.color``) are unsupported in v1 —
+  writes are keyed by the item's field value AS-OF the write time, so a
+  bounded last-value retention cannot reproduce historical re-keyings
+  (and the offset join has no static output column to attach to).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metarank_spark.engine import (
+    GLOBAL_ENTITY,
+    Boolean,
+    FieldMatch,
+    InteractedWith,
+    InteractionCount,
+    ItemAge,
+    Freq,
+    MapFeature,
+    Number,
+    Rate,
+    RecentItems,
+    Referer,
+    Stats,
+    StringEncode,
+    UserAgent,
+    Vector,
+    WindowCount,
+    WordCount,
+    _entity_col,
+)
+from metarank_spark.operators.clickthrough import (
+    MAX_SESSION_MS,
+    inject_impressions,
+    training_matrix,
+)
+
+__all__ = [
+    "IncrementalSnapshot",
+    "history_horizon_ms",
+    "snapshot",
+    "incremental_training_matrix",
+    "save_snapshot",
+    "load_snapshot",
+]
+
+_FIELD_SOURCES = {"item": "item", "user": "user"}
+
+
+@dataclass
+class IncrementalSnapshot:
+    """Compact reconstruction state: ``tail`` is the retained raw event
+    set (pre-injection, deduped on the total-order ``seq``), ``offsets``
+    maps lifetime-counter feature names to (entity, offset) frames."""
+
+    t0_ms: int
+    horizon_ms: int
+    tail: DataFrame
+    offsets: dict[str, DataFrame]
+    commit_at_expiry: bool = True
+
+
+def _check_supported(engine) -> None:
+    for cfg in engine.features:
+        if isinstance(cfg, InteractionCount) and cfg.ttl_ms:
+            raise NotImplementedError(
+                "incremental: InteractionCount with ttl_ms is not "
+                "supported (expired keys read 0.0, which an offset "
+                "join cannot reproduce)"
+            )
+        if isinstance(cfg, (InteractionCount, WindowCount, Rate)) and \
+                "." in cfg.scope:
+            raise NotImplementedError(
+                "incremental: field-scoped counters are not supported in "
+                "v1 — writes are keyed by the item's field value AS-OF "
+                "the write, so bounded retention cannot reproduce "
+                "historical re-keyings after the field value changes"
+            )
+
+
+def history_horizon_ms(engine, max_session_ms: int = MAX_SESSION_MS) -> int:
+    """Replay horizon: the widest trailing window any feature reads, plus
+    one bucket of edge slack, plus two session lengths (impression commits
+    lag their session's last interaction by max_session_ms, and the
+    anchored-periodic lateness contract needs one more)."""
+    span = 0
+    for cfg in engine.features:
+        if isinstance(cfg, (WindowCount, Rate)):
+            span = max(span, (max(cfg.periods) + 1) * cfg.bucket_ms)
+        if isinstance(cfg, (RecentItems, InteractedWith)):
+            span = max(span, cfg.duration_ms)
+    return span + 2 * max_session_ms
+
+
+def _last_k_per_key(
+    df: DataFrame, keys: list, k: int, chunk_ms: int
+) -> DataFrame:
+    """Chunk-decomposed last-K rows per key in (ts_ms, seq) order: first
+    keep last K inside each (key, time-chunk) — bounded tasks even for an
+    entity holding a macroscopic share of history — then last K among the
+    ≤ K-per-chunk survivors."""
+    desc = [F.col("ts_ms").desc(), F.col("seq").desc()]
+    chunk = F.floor(F.col("ts_ms") / F.lit(chunk_ms))
+    wc = Window.partitionBy(*keys, chunk).orderBy(*desc)
+    pruned = (
+        df.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    wk = Window.partitionBy(*keys).orderBy(*desc)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _window_context(writes: DataFrame, scope: str,
+                    periods: tuple, bucket_ms: int) -> DataFrame:
+    """Writes inside the entity's last-anchored window: every write whose
+    bucket is within max(periods) of the entity's LAST bucket. A read
+    after the cut carries the last write's vector, whose trailing sums
+    range over exactly these rows."""
+    w = writes.withColumn("__ent", _entity_col(scope))
+    vts = (
+        F.coalesce(F.col("vts_ms"), F.col("ts_ms"))
+        if "vts_ms" in writes.columns
+        else F.col("ts_ms")
+    )
+    w = w.withColumn("__bucket", F.floor(vts / F.lit(bucket_ms)))
+    last = w.groupBy("__ent").agg(F.max("__bucket").alias("__last_bucket"))
+    return (
+        w.join(last, "__ent")
+        .filter(F.col("__bucket") >= F.col("__last_bucket") - max(periods))
+        .drop("__ent", "__bucket", "__last_bucket")
+    )
+
+
+def _interaction_of(df: DataFrame, itype: str) -> DataFrame:
+    return df.filter(
+        (F.col("event_type") == "interaction")
+        & (F.col("interaction_type") == itype)
+    )
+
+
+def _str_head(field: str):
+    return F.col("str_fields").getItem(field).getItem(0)
+
+
+def _scalar_write_pred(cfg):
+    """The EXACT merged-scan write predicate of a last-value feature
+    (engine._compile_scope_group) — retention must match it exactly: a
+    kept event that the engine would not treat as a write (or vice versa)
+    shifts the replayed last-value."""
+    from metarank_spark.functions.ua import ua_category
+
+    if isinstance(cfg, Number):
+        return (F.col("event_type") == cfg.source) & F.col(
+            "num_fields").getItem(cfg.field).isNotNull()
+    if isinstance(cfg, Boolean):
+        return (F.col("event_type") == cfg.source) & _str_head(
+            cfg.field).isin("true", "false")
+    if isinstance(cfg, StringEncode):
+        return (F.col("event_type") == cfg.source) & F.col(
+            "str_fields").getItem(cfg.field).isNotNull()
+    if isinstance(cfg, WordCount):
+        return (F.col("event_type") == cfg.source) & _str_head(
+            cfg.field).isNotNull()
+    if isinstance(cfg, Vector):
+        return (F.col("event_type") == cfg.source) & F.col(
+            "numlist_fields").getItem(cfg.field).isNotNull()
+    if isinstance(cfg, ItemAge):
+        return F.col("event_type") == "item"
+    if isinstance(cfg, FieldMatch):
+        return (F.col("event_type") == "item") & _str_head(
+            cfg.item_field).isNotNull()
+    if isinstance(cfg, UserAgent):
+        return F.col("event_type").isin("ranking", "interaction") & \
+            ua_category(_str_head(cfg.field), cfg.mapper).isNotNull()
+    if isinstance(cfg, Referer):
+        src = {
+            "ranking": F.col("event_type") == "ranking",
+            "interaction": F.col("event_type") == "interaction",
+        }.get(cfg.source, F.col("event_type").isin("ranking", "interaction"))
+        return src & _str_head(cfg.field).isNotNull()
+    raise ValueError(cfg)  # pragma: no cover
+
+
+def _retention_frames(hist: DataFrame, engine, horizon: int) -> list[DataFrame]:
+    """One bounded frame per feature: the events a replay needs to rebuild
+    that feature's pre-cut state for post-cut reads. Every filter below
+    mirrors the engine's own write predicate for that feature — retention
+    keeps exactly the rows the engine treats as state writes."""
+    from metarank_spark.engine import sample_accept_expr
+
+    frames: list[DataFrame] = []
+    ints = hist.filter(F.col("event_type") == "interaction")
+
+    def last_k(df, scope, k, extra_keys=()):
+        keyed = df.withColumn("__ent", _entity_col(scope))
+        out = _last_k_per_key(keyed, ["__ent", *extra_keys], k, horizon)
+        return out.drop("__ent")
+
+    for cfg in engine.features:
+        if isinstance(cfg, (WindowCount, Rate)):
+            itypes = (
+                (cfg.interaction,) if isinstance(cfg, WindowCount)
+                else (cfg.top, cfg.bottom)
+            )
+            for itype in itypes:
+                if itype == "impression":
+                    # injected at replay time; context pulled via the
+                    # generating clickthroughs (see snapshot())
+                    continue
+                frames.append(_window_context(
+                    _interaction_of(hist, itype), cfg.scope,
+                    cfg.periods, cfg.bucket_ms))
+                if isinstance(cfg, Rate) and cfg.normalize_weight is not None:
+                    frames.append(_window_context(
+                        _interaction_of(hist, itype), "global",
+                        cfg.periods, cfg.bucket_ms))
+        elif isinstance(cfg, InteractionCount):
+            if cfg.interaction != "impression":
+                frames.append(last_k(
+                    _interaction_of(hist, cfg.interaction), cfg.scope, 1))
+        elif isinstance(cfg, (Number, Boolean, StringEncode, WordCount,
+                              Vector)):
+            if cfg.source == "ranking":
+                continue  # per-ranking constant, no state
+            frames.append(last_k(
+                hist.filter(_scalar_write_pred(cfg)),
+                _FIELD_SOURCES[cfg.source], 1))
+        elif isinstance(cfg, (FieldMatch, ItemAge)):
+            frames.append(last_k(hist.filter(_scalar_write_pred(cfg)),
+                                 "item", 1))
+        elif isinstance(cfg, (Stats, Freq)):
+            val = (
+                F.col("num_fields").getItem(cfg.field)
+                if isinstance(cfg, Stats) else _str_head(cfg.field)
+            )
+            pred = val.isNotNull()
+            if cfg.sample_rate < 1.0:
+                pred = pred & sample_accept_expr(cfg.sample_rate)
+            frames.append(last_k(ints.filter(pred), cfg.scope, cfg.pool))
+        elif isinstance(cfg, (RecentItems, InteractedWith)):
+            frames.append(last_k(
+                _interaction_of(hist, cfg.interaction), cfg.scope, cfg.count))
+            if isinstance(cfg, InteractedWith):
+                # stage 2 reads each field's item series (_field_series:
+                # item events whose str_fields carry the field)
+                for fld in cfg.fields:
+                    src = hist.filter(
+                        (F.col("event_type") == "item")
+                        & F.col("str_fields").getItem(fld).isNotNull()
+                    )
+                    frames.append(last_k(src, "item", 1))
+        elif isinstance(cfg, MapFeature):
+            m = ints.filter(
+                _str_head(cfg.key_field).isNotNull()
+                & F.col("num_fields").getItem(cfg.value_field).isNotNull()
+            )
+            keyed = m.withColumn("__mk", _str_head(cfg.key_field))
+            frames.append(
+                last_k(keyed, cfg.scope, 1, extra_keys=["__mk"]).drop("__mk"))
+        elif isinstance(cfg, (UserAgent, Referer)):
+            scope = "session" if isinstance(cfg, UserAgent) else cfg.scope
+            frames.append(last_k(
+                hist.filter(_scalar_write_pred(cfg)), scope, 1))
+        # Relevancy / Position / LocalTime / Random / Diversity are
+        # ranking-local: nothing to retain
+    return frames
+
+
+def _impression_window_feats(engine):
+    """(periods, bucket_ms, scope) of every windowed feature reading the
+    injected impression stream."""
+    out = []
+    for cfg in engine.features:
+        itypes = ()
+        if isinstance(cfg, WindowCount):
+            itypes = (cfg.interaction,)
+        elif isinstance(cfg, Rate):
+            itypes = (cfg.top, cfg.bottom)
+        if "impression" not in itypes:
+            continue
+        out.append((cfg.periods, cfg.bucket_ms, cfg.scope))
+        if isinstance(cfg, Rate) and cfg.normalize_weight is not None:
+            out.append((cfg.periods, cfg.bucket_ms, "global"))
+    return out
+
+
+def _entity_out_col(scope: str):
+    """The training-matrix output column holding a plain scope's entity."""
+    return {
+        "item": F.col("item_id"),
+        "user": F.col("user_id"),
+        "session": F.col("session_id"),
+        "ranking": F.col("ranking_id"),
+        "global": F.lit(GLOBAL_ENTITY),
+    }[scope]
+
+
+def _counter_offsets(
+    hist: DataFrame, tail: DataFrame, engine, t0_ms: int,
+    commit_at_expiry: bool, max_session_ms: int,
+) -> dict[str, DataFrame]:
+    """Per lifetime-counter feature: matching-write count at commit ≤ t0
+    in the full history MINUS the same count over the retained tail — the
+    constant the replayed running count is short by, for every read after
+    the cut."""
+    ics = [c for c in engine.features if isinstance(c, InteractionCount)]
+    if not ics:
+        return {}
+    needs_inject = any(c.interaction == "impression" for c in ics)
+    if needs_inject:
+        full = inject_impressions(hist, commit_at_expiry, max_session_ms)
+        part = inject_impressions(tail, commit_at_expiry, max_session_ms)
+    else:
+        full, part = hist, tail
+    out: dict[str, DataFrame] = {}
+    for cfg in ics:
+        def counts(df):
+            return (
+                df.filter(
+                    (F.col("event_type") == "interaction")
+                    & (F.col("interaction_type") == cfg.interaction)
+                    & (F.col("ts_ms") <= t0_ms)
+                )
+                .groupBy(_entity_col(cfg.scope).alias("entity"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+        diff = (
+            counts(full).alias("f")
+            .join(counts(part).alias("p"), "entity", "left")
+            .select(
+                "entity",
+                (F.col("f.n") - F.coalesce(F.col("p.n"), F.lit(0)))
+                .alias("offset"),
+            )
+            .filter(F.col("offset") != 0)
+        )
+        out[cfg.name] = diff
+    return out
+
+
+def snapshot(
+    events: DataFrame,
+    t0_ms: int,
+    engine,
+    max_session_ms: int = MAX_SESSION_MS,
+    commit_at_expiry: bool = True,
+) -> IncrementalSnapshot:
+    """One pass over history (this IS the checkpoint operation): build the
+    bounded retained event set + counter offsets that make
+    ``incremental_training_matrix`` bit-identical to a full replay for
+    every ranking after ``t0_ms``."""
+    _check_supported(engine)
+    horizon = history_horizon_ms(engine, max_session_ms)
+    hist = events.filter(F.col("ts_ms") <= t0_ms)
+    recent = hist.filter(F.col("ts_ms") > t0_ms - horizon)
+
+    frames = [recent]
+    frames += [f.select(*recent.columns) for f in
+               _retention_frames(hist, engine, horizon)]
+    kept = reduce(
+        lambda a, b: a.unionByName(b.select(*a.columns)), frames
+    )
+
+    # Impression-windowed features read the INJECTED stream; their
+    # pre-cut state is reproduced by pulling the clickthroughs whose
+    # injected impressions sit inside each entity's last impression
+    # window — replay injection then regenerates exactly those writes.
+    imp_ranking_ids = None
+    imp_feats = _impression_window_feats(engine)
+    imp_pools = [
+        cfg for cfg in engine.features
+        if isinstance(cfg, (RecentItems, InteractedWith))
+        and cfg.interaction == "impression"
+    ]
+    if imp_feats or imp_pools:
+        inj = inject_impressions(hist, commit_at_expiry, max_session_ms)
+        imps = inj.filter(F.col("interaction_type") == "impression")
+        id_frames = [
+            _window_context(imps, scope, periods, bucket_ms)
+            .select("ranking_id")
+            for periods, bucket_ms, scope in imp_feats
+        ]
+        for cfg in imp_pools:
+            keyed = imps.withColumn("__ent", _entity_col(cfg.scope))
+            id_frames.append(
+                _last_k_per_key(keyed, ["__ent"], cfg.count, horizon)
+                .select("ranking_id")
+            )
+        imp_ranking_ids = reduce(
+            lambda a, b: a.unionByName(b), id_frames
+        ).distinct()
+
+    # Completion closure: every clickthrough touched by a kept
+    # interaction (or an impression-context pull) enters the tail WHOLE —
+    # the ranking event and ALL its interactions — so replay injection
+    # reproduces the full run's max_pos and commit time for it. One pass
+    # closes the set: pulled interactions only reference already-pulled
+    # rankings.
+    ref_ids = kept.filter(
+        (F.col("event_type") == "interaction")
+        & F.col("ranking_id").isNotNull()
+    ).select("ranking_id").distinct()
+    if imp_ranking_ids is not None:
+        ref_ids = ref_ids.unionByName(imp_ranking_ids).distinct()
+    # renamed column breaks the self-join lineage ambiguity (ref_ids
+    # derives from hist too)
+    ref_ids = ref_ids.select(F.col("ranking_id").alias("__ref_rid"))
+    rankings_h = hist.filter(F.col("event_type") == "ranking")
+    pulled_rankings = rankings_h.join(
+        ref_ids, F.col("event_id") == F.col("__ref_rid"), "leftsemi"
+    )
+    pulled_ints = hist.filter(F.col("event_type") == "interaction").join(
+        ref_ids, F.col("ranking_id") == F.col("__ref_rid"), "leftsemi"
+    )
+    tail = (
+        kept.unionByName(pulled_rankings.select(*kept.columns))
+        .unionByName(pulled_ints.select(*kept.columns))
+        .dropDuplicates(["seq"])
+    )
+    offsets = _counter_offsets(
+        hist, tail, engine, t0_ms, commit_at_expiry, max_session_ms)
+    return IncrementalSnapshot(t0_ms, horizon, tail, offsets, commit_at_expiry)
+
+
+def incremental_training_matrix(
+    snap: IncrementalSnapshot,
+    delta_events: DataFrame,
+    engine,
+    **training_kwargs,
+) -> DataFrame:
+    """The training matrix for rankings after the cut, folding only
+    tail ∪ delta through the UNCHANGED engine, then adding the counter
+    offsets. Equals ``training_matrix(full_events, engine)`` filtered to
+    ``ts_ms > t0`` (tests/test_incremental.py property suite)."""
+    _check_supported(engine)
+    training_kwargs.setdefault("commit_at_expiry", snap.commit_at_expiry)
+    stream = snap.tail.unionByName(
+        delta_events.select(*snap.tail.columns)
+    )
+    out = training_matrix(stream, engine, **training_kwargs).filter(
+        F.col("ts_ms") > snap.t0_ms
+    )
+    for name, off in snap.offsets.items():
+        cfg = next(c for c in engine.features if c.name == name)
+        renamed = off.select(
+            F.col("entity").alias(f"__off_ent_{name}"),
+            F.col("offset").alias(f"__off_{name}"),
+        )
+        out = (
+            out.join(
+                renamed,
+                _entity_out_col(cfg.scope) == F.col(f"__off_ent_{name}"),
+                "left",
+            )
+            .withColumn(
+                name,
+                F.col(name) + F.coalesce(F.col(f"__off_{name}"), F.lit(0)),
+            )
+            .drop(f"__off_ent_{name}", f"__off_{name}")
+        )
+    return out
+
+
+def save_snapshot(snap: IncrementalSnapshot, path: str) -> None:
+    """Persist to a directory: tail + offsets as parquet, meta as JSON.
+    Local-filesystem descriptor (document: same constraint as the export
+    job's dataset.json)."""
+    snap.tail.write.mode("overwrite").parquet(os.path.join(path, "tail"))
+    for name, off in snap.offsets.items():
+        off.write.mode("overwrite").parquet(
+            os.path.join(path, "offsets", name))
+    meta = {
+        "t0_ms": snap.t0_ms,
+        "horizon_ms": snap.horizon_ms,
+        "offsets": sorted(snap.offsets),
+        "commit_at_expiry": snap.commit_at_expiry,
+    }
+    with open(os.path.join(path, "snapshot.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def load_snapshot(spark: SparkSession, path: str) -> IncrementalSnapshot:
+    with open(os.path.join(path, "snapshot.json")) as fh:
+        meta = json.load(fh)
+    tail = spark.read.parquet(os.path.join(path, "tail"))
+    offsets = {
+        name: spark.read.parquet(os.path.join(path, "offsets", name))
+        for name in meta["offsets"]
+    }
+    return IncrementalSnapshot(
+        meta["t0_ms"], meta["horizon_ms"], tail, offsets,
+        meta.get("commit_at_expiry", True))
