@@ -525,20 +525,37 @@ class FeatureEngine:
         (std - running_count) from the last at-max write and add the
         current running count. On a monotone stream every write is
         at-max and this reduces bit-for-bit to std_i. Exactness needs
-        lateness ≤ min(periods) * bucket_ms (the _with_vts contract)."""
+        lateness ≤ min(periods) * bucket_ms (the _with_vts contract).
+
+        Plan shape: ``std - cnt`` algebraically collapses to ``-older``,
+        and "the last at-max write" is exactly the lexicographic running
+        max of ``struct(bucket, seq)`` (seq strictly increasing breaks
+        bucket ties toward the latest commit), so the carry is ONE
+        running ``max(struct(bucket, seq, -older...))`` instead of an
+        anchor max plus one last-ignorenulls per period. The range-window
+        ``older`` sums still force a second chained WindowExec (a window
+        function cannot reference another in the same pass), but the
+        second pass carries a single aggregate — measured ~30% off the
+        expiry-mode backfill at 8 threads vs the per-period-carry
+        formulation, and the overhead stops growing with thread count
+        (scripts/anchor_decompose.py, scripts/expiry_paired.py)."""
         run = entity_rows_window(entity)
-        a = F.max(F.when(is_write, bucket)).over(run)
         cnt = F.coalesce(F.sum(one).over(run), F.lit(0))
-        elems = []
-        for p in periods:
-            older = F.coalesce(
+        olders = [
+            F.coalesce(
                 F.sum(one).over(bucket_range_window(entity, bucket, p)), F.lit(0)
             )
-            std = cnt - older
-            base = F.when(is_write & (bucket == a), std - cnt)
-            carried = F.last(base, ignorenulls=True).over(run)
-            elems.append(carried + cnt)
-        return F.array(*elems)
+            for p in periods
+        ]
+        carried = F.max(
+            F.when(is_write, F.struct(
+                bucket.alias("b"), F.col("seq").alias("s"),
+                *[(-o).alias(f"o{i}") for i, o in enumerate(olders)],
+            ))
+        ).over(run)
+        return F.array(*[
+            carried.getField(f"o{i}") + cnt for i in range(len(periods))
+        ])
 
     def _periodic_fold(
         self, w: DataFrame, periods: tuple[int, ...], bucket_ms: int

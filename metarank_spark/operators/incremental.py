@@ -104,6 +104,7 @@ __all__ = [
     "IncrementalSnapshot",
     "history_horizon_ms",
     "snapshot",
+    "roll_snapshot",
     "incremental_training_matrix",
     "save_snapshot",
     "load_snapshot",
@@ -365,6 +366,26 @@ def _entity_out_col(scope: str):
     }[scope]
 
 
+def _delta_entities(delta: DataFrame, scope: str) -> DataFrame | None:
+    """The entities a delta's rankings can read at ``scope`` — the only
+    rows of the offsets table the fold needs. Derived from the (small)
+    delta, so the offsets join prunes to delta-entity size instead of
+    shuffling per-entity state for EVERY entity ever seen (which grows
+    with corpus age even when the delta doesn't)."""
+    rk = delta.filter(F.col("event_type") == "ranking")
+    if scope == "item":
+        ent = F.explode(F.transform(F.col("items"), lambda x: x["id"]))
+    elif scope == "user":
+        ent = F.col("user_id")
+    elif scope == "session":
+        ent = F.col("session_id")
+    elif scope == "ranking":
+        ent = F.col("event_id")
+    else:  # global: a single row, nothing to prune
+        return None
+    return rk.select(ent.alias("entity")).distinct()
+
+
 def _counter_offsets(
     hist: DataFrame, tail: DataFrame, engine, t0_ms: int,
     commit_at_expiry: bool, max_session_ms: int,
@@ -492,6 +513,62 @@ def snapshot(
     return IncrementalSnapshot(t0_ms, horizon, tail, offsets, commit_at_expiry)
 
 
+def roll_snapshot(
+    snap: IncrementalSnapshot,
+    delta_events: DataFrame,
+    t1_ms: int,
+    engine,
+    max_session_ms: int = MAX_SESSION_MS,
+) -> IncrementalSnapshot:
+    """Advance a snapshot to a later cut WITHOUT rescanning full history —
+    the daily production loop: after the first checkpoint, every
+    subsequent day is snapshot-roll + delta-fold, both O(delta + horizon).
+
+    Correctness: every retention rule's support set is preserved by the
+    previous tail — last-K pools keep the true last K (older rows can't
+    displace them), window context keeps everything in the entity's
+    last-anchored window (a new last bucket only moves the window
+    FORWARD), scalars keep the last write, and the completion closure
+    keeps clickthroughs whole — so ``snapshot(tail ∪ delta, t1)`` equals
+    ``snapshot(full, t1)`` except its counter offsets are missing exactly
+    the events the previous snapshot already folded away, i.e. the
+    previous offsets. Fold them back in by entity-wise sum.
+    Property-tested transitive-equal to a from-scratch snapshot
+    (tests/test_incremental.py::test_roll_equals_fresh)."""
+    if t1_ms <= snap.t0_ms:
+        raise ValueError(f"roll target {t1_ms} must exceed cut {snap.t0_ms}")
+    _check_supported(engine)
+    # The previous tail is itself a ~20-frame union/join tree; the new
+    # snapshot references its stream once per retention rule, so rolling
+    # on the raw lineage squares the plan tree (Catalyst walks trees, not
+    # DAGs — the same blowup the attach path hit). Truncate at the roll
+    # boundary: production rolls read the tail back from parquet anyway
+    # (save_snapshot/load_snapshot), this is the in-memory equivalent.
+    tail = snap.tail.localCheckpoint(eager=True)
+    stream = tail.unionByName(delta_events.select(*tail.columns))
+    new = snapshot(stream, t1_ms, engine, max_session_ms,
+                   snap.commit_at_expiry)
+    merged: dict[str, DataFrame] = {}
+    for name in new.offsets:
+        prev = snap.offsets.get(name)
+        if prev is None:
+            merged[name] = new.offsets[name]
+            continue
+        a = prev.select("entity", F.col("offset").alias("__o1"))
+        b = new.offsets[name].select("entity", F.col("offset").alias("__o2"))
+        merged[name] = (
+            a.join(b, "entity", "full")
+            .select(
+                "entity",
+                (F.coalesce(F.col("__o1"), F.lit(0))
+                 + F.coalesce(F.col("__o2"), F.lit(0))).alias("offset"),
+            )
+            .filter(F.col("offset") != 0)
+        )
+    return IncrementalSnapshot(
+        t1_ms, new.horizon_ms, new.tail, merged, snap.commit_at_expiry)
+
+
 def incremental_training_matrix(
     snap: IncrementalSnapshot,
     delta_events: DataFrame,
@@ -512,6 +589,12 @@ def incremental_training_matrix(
     )
     for name, off in snap.offsets.items():
         cfg = next(c for c in engine.features if c.name == name)
+        ents = _delta_entities(delta_events, cfg.scope)
+        if ents is not None:
+            # delta-entity semi-join: AQE broadcasts the small delta dim,
+            # so the (entity-cardinality-sized) offsets frame is scanned
+            # once and never shuffled
+            off = off.join(ents, "entity", "leftsemi")
         renamed = off.select(
             F.col("entity").alias(f"__off_ent_{name}"),
             F.col("offset").alias(f"__off_{name}"),

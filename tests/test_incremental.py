@@ -258,6 +258,38 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert_matrices_equal(inc_a, inc_b)
 
 
+def test_roll_equals_fresh(spark):
+    """Snapshot rolling: advancing day-20's snapshot to day-30 using only
+    tail ∪ delta produces the same delta matrix as a from-scratch
+    full-history replay — the no-full-rescan production loop."""
+    from metarank_spark.operators.incremental import roll_snapshot
+
+    rows = gen_events(13)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        InteractionCount("imps", "impression"),
+        WindowCount("wc", "click", (1, 3)),
+        Rate("ctr", "click", "impression", (2,)),
+        Number("price", "price"),
+        Freq("fr", "kind", pool=4),
+    ])
+    t0 = T0 + 20 * DAY
+    t1 = T0 + 30 * DAY
+
+    s0 = snapshot(df, t0, eng)
+    rolled = roll_snapshot(s0, df.filter(f"ts_ms > {t0}"), t1, eng)
+    assert rolled.t0_ms == t1
+
+    full = training_matrix(df, eng).filter(f"ts_ms > {t1}")
+    inc = incremental_training_matrix(
+        rolled, df.filter(f"ts_ms > {t1}"), eng)
+    assert_matrices_equal(collect_matrix(full), collect_matrix(inc))
+
+    with pytest.raises(ValueError, match="must exceed"):
+        roll_snapshot(rolled, df, t0, eng)
+
+
 def test_backfill_job_snapshot_cli(spark, tmp_path):
     """jobs/backfill.py --snapshot-out / --from-snapshot: the spark-submit
     surface of the incremental path, end-to-end on a tiny stream."""
