@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from metarank_spark.engine import (
     GLOBAL_ENTITY,
     Boolean,
+    Diversity,
     FieldMatch,
     InteractedWith,
     InteractionCount,
@@ -332,8 +333,21 @@ def _retention_frames(hist: DataFrame, engine, horizon: int) -> list[DataFrame]:
             scope = "session" if isinstance(cfg, UserAgent) else cfg.scope
             frames.append(last_k(
                 hist.filter(_scalar_write_pred(cfg)), scope, 1))
-        # Relevancy / Position / LocalTime / Random / Diversity are
-        # ranking-local: nothing to retain
+        elif isinstance(cfg, Diversity):
+            # NOT ranking-local: the candidate values come from stored
+            # item field state, read as-of the ranking
+            # (engine._attach_diversity → _scalar_series)
+            val = (
+                F.col("num_fields").getItem(cfg.field)
+                if cfg.kind == "numeric"
+                else F.col("str_fields").getItem(cfg.field)
+            )
+            frames.append(last_k(
+                hist.filter((F.col("event_type") == "item")
+                            & val.isNotNull()),
+                "item", 1))
+        # Relevancy / Position / LocalTime / Random are ranking-local:
+        # nothing to retain
     return frames
 
 

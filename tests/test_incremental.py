@@ -258,6 +258,83 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert_matrices_equal(inc_a, inc_b)
 
 
+UA_POOL = [
+    "Mozilla/4.0 (compatible; MSIE 9.0; Windows NT 6.1)",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_0 like Mac OS X) AppleWebKit/605.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0",
+]
+REF_POOL = [
+    "https://www.google.com/search?q=x",
+    "https://t.co/abc",
+    "https://example.com/internal",
+]
+
+
+def enrich(rows, seed=0):
+    """Extend a gen_events stream with the fields the wide engine reads:
+    metadata on item events (title/color/in_stock/emb), ua/ref/query on
+    rankings."""
+    rnd = random.Random(seed)
+    for r in rows:
+        if r["event_type"] == "item":
+            r["str_fields"] = dict(r["str_fields"] or {})
+            r["str_fields"]["title"] = [
+                " ".join(rnd.sample(
+                    ["red", "shoe", "fast", "cheap", "wool", "blue"],
+                    k=rnd.randrange(1, 4)))]
+            r["str_fields"]["color"] = [rnd.choice(["red", "green", "blue"])]
+            r["str_fields"]["in_stock"] = [rnd.choice(["true", "false"])]
+            r["numlist_fields"] = {
+                "emb": [round(rnd.uniform(-1, 1), 3) for _ in range(4)]}
+        elif r["event_type"] == "ranking":
+            r["str_fields"] = {
+                "ua": [rnd.choice(UA_POOL)],
+                "ref": [rnd.choice(REF_POOL)],
+                "query": [rnd.choice(["red shoe", "wool", "cheap blue"])],
+            }
+    return rows
+
+
+def test_incremental_equals_full_wide_engine(spark):
+    """The equivalence property over the REST of the extractor surface:
+    TTL'd windows/rates, Boolean/StringEncode/WordCount/Vector scalars,
+    UserAgent, Referer, FieldMatch, Diversity (which reads item state —
+    the retention rule a 'ranking-local' misreading would miss), and a
+    sampled Stats pool."""
+    from metarank_spark.engine import (
+        Boolean,
+        Diversity,
+        FieldMatch,
+        Referer,
+        StringEncode,
+        UserAgent,
+        Vector,
+        WordCount,
+    )
+
+    rows = enrich(gen_events(77), seed=77)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        WindowCount("wct", "click", (1, 3), ttl_ms=5 * DAY),
+        Rate("ctrt", "click", "impression", (2,), ttl_ms=5 * DAY),
+        Boolean("instock", "in_stock"),
+        StringEncode("color", "color", values=("red", "green", "blue"),
+                     encode="onehot"),
+        WordCount("twc", "title"),
+        Vector("embv", "emb", reducers=("min", "max", "avg")),
+        UserAgent("uap", "ua", mapper="platform"),
+        Referer("refm", "ref", scope="user"),
+        FieldMatch("fm", "query", "title", method="term"),
+        Diversity("div", "price", kind="numeric"),
+        Stats("sts", "price", pool=3, percentiles=(50,), sample_rate=0.5),
+    ])
+    t0 = T0 + 30 * DAY
+    full = training_matrix(df, eng).filter(f"ts_ms > {t0}")
+    snap = snapshot(df, t0, eng)
+    inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), eng)
+    assert_matrices_equal(collect_matrix(full), collect_matrix(inc))
+
+
 def test_roll_equals_fresh(spark):
     """Snapshot rolling: advancing day-20's snapshot to day-30 using only
     tail ∪ delta produces the same delta matrix as a from-scratch
