@@ -198,17 +198,18 @@ def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
 
     A segment key is LOW-cardinality — every segment is a hot entity at
     scale — so no event-scale window may partition by the bare segment.
-    Plan: one window pass to derive the segment (shuffle on the
-    high-cardinality user key), then the segment-keyed counters in the
-    engine's salted two-pass shapes: strict running sums with
-    (segment, time-chunk) partitions + chunk-offset reassembly
-    (plans/prefix.salted_cumulative_sum), and the older-than-window
-    totals from a per-(segment, day) aggregate with a day-bucket RANGE
-    prefix (one row per segment-day — never event-scale) joined back.
-    Same outputs as the single-window form, pinned by the plan gate in
-    test_plans_quality."""
-    from metarank_spark.plans.prefix import salted_cumulative_sum
-
+    Plan (one fused salted pass, round-4 shape): one window to derive
+    the segment (shuffle on the high-cardinality user key), then ONE
+    (segment, day) window computing both strict within-chunk sums, and
+    ONE per-(segment, day) aggregate whose day rows serve double duty —
+    a strict day-prefix gives the chunk offsets (exact reassembly of the
+    running sums) and a ≤ day−8 RANGE prefix gives the older-than-window
+    totals — joined back in a single (AQE-broadcast) join. Same outputs
+    as the single-window form (hash-pinned oracle); no event-scale frame
+    partitions by the bare segment (plan gate in test_plans_quality).
+    The previous form chained two generic salted passes + a third
+    aggregate over their joined output, recomputing the segment window
+    ~6x (Catalyst copies trees); this runs it twice."""
     ev = load_events(spark, sf, with_props=True)
     k_sig = F.when(
         F.col("event_type") == "signup", F.get_json_object("props", "$.k")
@@ -218,40 +219,49 @@ def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("ts_ms", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    d = ev.select(
-        "event_id", "user_id", "ts_ms", "event_type",
-        F.last(k_sig, ignorenulls=True).over(w_user).alias("fscope"),
-    )
     is_c = F.when(F.col("event_type") == "click", 1).otherwise(0)
     is_v = F.when(F.col("event_type") == "view", 1).otherwise(0)
-    # strict running totals per segment, chunk-salted (7-day chunks)
-    d = salted_cumulative_sum(
-        d, is_c, entity="fscope", order=("ts_ms", "event_id"),
-        chunk_ms=7 * MS_DAY, out="run_c", strictly_before=True,
+    staged = ev.select(
+        "event_id", "user_id", "ts_ms", "event_type",
+        F.last(k_sig, ignorenulls=True).over(w_user).alias("fscope"),
+        F.floor(F.col("ts_ms") / F.lit(MS_DAY)).alias("__salt"),
+        is_c.alias("__c"), is_v.alias("__v"),
     )
-    d = salted_cumulative_sum(
-        d, is_v, entity="fscope", order=("ts_ms", "event_id"),
-        chunk_ms=7 * MS_DAY, out="run_v", strictly_before=True,
+    # strict within-(segment, day) running sums — bounded tasks even for
+    # a segment holding the whole corpus
+    w_in = (
+        Window.partitionBy("fscope", "__salt")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # older-than-8-day totals: per-(segment, day) counts + a day-bucket
-    # RANGE prefix over the tiny aggregate frame, joined back on day
-    d = d.withColumn("day", F.floor(F.col("ts_ms") / F.lit(MS_DAY)))
-    per_day = d.groupBy("fscope", "day").agg(
-        F.sum(is_c).alias("__dc"), F.sum(is_v).alias("__dv")
+    staged = staged.select(
+        "*",
+        F.coalesce(F.sum("__c").over(w_in), F.lit(0)).alias("win_c"),
+        F.coalesce(F.sum("__v").over(w_in), F.lit(0)).alias("win_v"),
+    )
+    # per-(segment, day) totals: one aggregate row per segment-day —
+    # never event-scale; both prefix frames read from it
+    per_day = staged.groupBy("fscope", "__salt").agg(
+        F.sum("__c").alias("__dc"), F.sum("__v").alias("__dv")
+    )
+    w_off = (
+        Window.partitionBy("fscope").orderBy("__salt")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_old = (
-        Window.partitionBy("fscope")
-        .orderBy("day")
+        Window.partitionBy("fscope").orderBy("__salt")
         .rangeBetween(Window.unboundedPreceding, -8)
     )
-    older_day = per_day.select(
-        "fscope", "day",
+    aux = per_day.select(
+        "fscope", "__salt",
+        F.coalesce(F.sum("__dc").over(w_off), F.lit(0)).alias("off_c"),
+        F.coalesce(F.sum("__dv").over(w_off), F.lit(0)).alias("off_v"),
         F.coalesce(F.sum("__dc").over(w_old), F.lit(0)).alias("older_c"),
         F.coalesce(F.sum("__dv").over(w_old), F.lit(0)).alias("older_v"),
     )
-    d = d.join(older_day, ["fscope", "day"], "left")
-    top7 = F.col("run_c") - F.coalesce(F.col("older_c"), F.lit(0))
-    bot7 = F.col("run_v") - F.coalesce(F.col("older_v"), F.lit(0))
+    d = staged.join(aux, ["fscope", "__salt"], "left")
+    top7 = (F.col("off_c") + F.col("win_c")) - F.col("older_c")
+    bot7 = (F.col("off_v") + F.col("win_v")) - F.col("older_v")
     known = F.col("fscope").isNotNull()
     out = d.select(
         "event_id", "user_id", "ts_ms", "event_type", "fscope",

@@ -1103,6 +1103,21 @@ class FeatureEngine:
         90d, enforced by the live store's key expiry — state whose last
         write is older than ttl reads as missing).
 
+        Semantics note (documented divergence in a gap corner): the
+        reference's stores refresh expiry on EVERY touch including reads
+        (fstore/memory/MemPersistence.scala:35-45 Caffeine expireAfter
+        create/update/READ; Redis per-key TTL likewise), and a key that
+        does lapse is re-created EMPTY by the next write. Here expiry is
+        anchored to the last WRITE only, and post-gap writes resume the
+        historical aggregate rather than restarting it. For entities
+        read within ttl (any ranking touching them — the common case)
+        the reference never lapses between writes, so resume-semantics
+        matches it; the divergence is confined to entities untouched by
+        reads AND writes for a full ttl, where the reference restarts
+        counts at 1 and this engine resumes. Exact touch-refresh
+        semantics would make reads state-mutating (a cache property, not
+        a model property) and is deliberately not replicated.
+
         Each value column gets a sibling write-ts column masked by the
         same write-row flag and carried by the same strictly-before rule;
         the finish expr then nulls values stale at the QUERY row's ts
