@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
                          "snapshot at this path, and write the delta's "
                          "training matrix to --output — bit-identical to "
                          "a full-history replay restricted to the delta")
+    ap.add_argument("--roll-to", type=int,
+                    help="with --from-snapshot AND --snapshot-out: advance "
+                         "the snapshot to this epoch-ms cut using only "
+                         "tail ∪ delta (no full-history rescan) and write "
+                         "it to --snapshot-out, then exit")
     args = ap.parse_args(argv)
 
     from metarank_spark.checkpoint import backfill, load_manifests
@@ -160,6 +165,28 @@ def main(argv: list[str] | None = None) -> int:
         engine = FeatureEngine(parse_features(spec),
                                hot_chunk_ms=args.hot_chunk_ms or None,
                                hot_entities=hot_entities)
+
+    if args.roll_to is not None:
+        if not (args.from_snapshot and args.snapshot_out):
+            ap.error("--roll-to needs --from-snapshot and --snapshot-out")
+        from metarank_spark.operators.incremental import (
+            load_snapshot,
+            roll_snapshot,
+            save_snapshot,
+        )
+
+        t0 = time.perf_counter()
+        snap = load_snapshot(spark, args.from_snapshot)
+        rolled = roll_snapshot(snap, events, args.roll_to, engine)
+        save_snapshot(rolled, args.snapshot_out)
+        print(json.dumps({
+            "rolled": args.snapshot_out,
+            "from_t0_ms": snap.t0_ms,
+            "t0_ms": rolled.t0_ms,
+            "tail_rows": rolled.tail.count(),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
 
     if args.snapshot_out:
         if args.snapshot_t0 is None:

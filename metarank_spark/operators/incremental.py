@@ -559,7 +559,11 @@ def roll_snapshot(
     # boundary: production rolls read the tail back from parquet anyway
     # (save_snapshot/load_snapshot), this is the in-memory equivalent.
     tail = snap.tail.localCheckpoint(eager=True)
-    stream = tail.unionByName(delta_events.select(*tail.columns))
+    # defensive cut: rows ≤ t0 are already represented by the tail (or
+    # were deliberately dropped by it) — a caller passing the full event
+    # table must not double-count them
+    delta = delta_events.filter(F.col("ts_ms") > snap.t0_ms)
+    stream = tail.unionByName(delta.select(*tail.columns))
     new = snapshot(stream, t1_ms, engine, max_session_ms,
                    snap.commit_at_expiry)
     merged: dict[str, DataFrame] = {}

@@ -410,6 +410,24 @@ def test_backfill_job_snapshot_cli(spark, tmp_path):
     inc = spark.read.parquet(out_path)
     assert_matrices_equal(collect_matrix(full), collect_matrix(inc))
 
+    # --roll-to: advance the snapshot via the CLI, then fold on it
+    t1 = T0 + 35 * DAY
+    snap2 = str(tmp_path / "snap2")
+    assert main([
+        "--events", ev_path, "--features", spec_path,
+        "--output", str(tmp_path / "unused2"),
+        "--from-snapshot", snap_path, "--snapshot-out", snap2,
+        "--roll-to", str(t1),
+    ]) == 0
+    out2 = str(tmp_path / "delta_matrix2")
+    assert main([
+        "--events", ev_path, "--features", spec_path,
+        "--output", out2, "--from-snapshot", snap2,
+    ]) == 0
+    full2 = training_matrix(df, eng).filter(f"ts_ms > {t1}")
+    inc2 = spark.read.parquet(out2)
+    assert_matrices_equal(collect_matrix(full2), collect_matrix(inc2))
+
 
 def test_unsupported_configs_raise(spark):
     rows = gen_events(5, n_events=40)
