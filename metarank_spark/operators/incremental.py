@@ -53,10 +53,15 @@ unchanged engine over tail ∪ delta. Offsets join the OUTPUT matrix on its
 entity column — a plain equi-join on the same key the matrix is already
 hashed by.
 
+TTL'd lifetime counters: freshness rides on the retained last write (the
+replayed stream's last-write ts for any post-cut read equals the full
+stream's, because retention keeps the true last write — for impression
+counters, the generating clickthrough of each entity's last injected
+impression). A stale key reads 0.0 in BOTH runs, so the offset join is
+gated per row: the offset is added only where the replayed (TTL-masked)
+value is positive, i.e. exactly where the full run's key is fresh.
+
 Restrictions (raise at snapshot time):
-- ``InteractionCount`` with ``ttl_ms`` set is unsupported (an expired key
-  must read 0.0, which a post-hoc offset join cannot reproduce); windowed
-  features support TTL fine (freshness rides on the retained last write).
 - Field-scoped counter scopes (``item.color``) are unsupported in v1 —
   writes are keyed by the item's field value AS-OF the write time, so a
   bounded last-value retention cannot reproduce historical re-keyings
@@ -65,9 +70,10 @@ Restrictions (raise at snapshot time):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -103,6 +109,7 @@ from metarank_spark.operators.clickthrough import (
 
 __all__ = [
     "IncrementalSnapshot",
+    "engine_fingerprint",
     "history_horizon_ms",
     "snapshot",
     "roll_snapshot",
@@ -118,23 +125,53 @@ _FIELD_SOURCES = {"item": "item", "user": "user"}
 class IncrementalSnapshot:
     """Compact reconstruction state: ``tail`` is the retained raw event
     set (pre-injection, deduped on the total-order ``seq``), ``offsets``
-    maps lifetime-counter feature names to (entity, offset) frames."""
+    maps lifetime-counter feature names to (entity, offset) frames.
+    ``fingerprint`` pins the engine config the tail's retention rules were
+    derived from — folding or rolling with a different config would
+    silently break the bit-identical contract, so it is validated at every
+    use."""
 
     t0_ms: int
     horizon_ms: int
     tail: DataFrame
     offsets: dict[str, DataFrame]
     commit_at_expiry: bool = True
+    fingerprint: str | None = None
+
+
+def engine_fingerprint(engine, max_session_ms: int = MAX_SESSION_MS) -> str:
+    """Deterministic hash of everything the snapshot's retention rules
+    depend on: the full feature config list (order-sensitive — it is the
+    output column order too), the engine's late-type set, and the session
+    length that bounds the clickthrough closure."""
+    payload = {
+        "features": [
+            {"type": type(c).__name__, **asdict(c)} for c in engine.features
+        ],
+        "late_types": sorted(engine.late_types),
+        "max_session_ms": max_session_ms,
+    }
+    blob = json.dumps(payload, sort_keys=True, default=list)
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+
+
+def _check_fingerprint(snap: IncrementalSnapshot, engine,
+                       max_session_ms: int, op: str) -> None:
+    if snap.fingerprint is None:
+        return  # pre-fingerprint snapshot: caller vouches for the config
+    cur = engine_fingerprint(engine, max_session_ms)
+    if cur != snap.fingerprint:
+        raise ValueError(
+            f"{op}: engine config fingerprint {cur} does not match the "
+            f"snapshot's {snap.fingerprint} — the tail was retained under "
+            "a different feature config (or max_session_ms) and cannot "
+            "reproduce full-replay results for this one. Rebuild the "
+            "snapshot with snapshot(events, t0, engine)."
+        )
 
 
 def _check_supported(engine) -> None:
     for cfg in engine.features:
-        if isinstance(cfg, InteractionCount) and cfg.ttl_ms:
-            raise NotImplementedError(
-                "incremental: InteractionCount with ttl_ms is not "
-                "supported (expired keys read 0.0, which an offset "
-                "join cannot reproduce)"
-            )
         if isinstance(cfg, (InteractionCount, WindowCount, Rate)) and \
                 "." in cfg.scope:
             raise NotImplementedError(
@@ -369,6 +406,16 @@ def _impression_window_feats(engine):
     return out
 
 
+def _feature_by_name(engine, name: str):
+    for c in engine.features:
+        if c.name == name:
+            return c
+    raise ValueError(
+        f"snapshot carries offsets for feature {name!r} which the engine "
+        "does not define — config drift between snapshot and fold"
+    )
+
+
 def _entity_out_col(scope: str):
     """The training-matrix output column holding a plain scope's entity."""
     return {
@@ -477,7 +524,15 @@ def snapshot(
         if isinstance(cfg, (RecentItems, InteractedWith))
         and cfg.interaction == "impression"
     ]
-    if imp_feats or imp_pools:
+    # TTL'd impression counters: freshness needs the entity's LAST
+    # impression write reproduced at replay — pull its generating
+    # clickthrough (a count=1 pool pull per scope)
+    imp_ttl_scopes = sorted({
+        cfg.scope for cfg in engine.features
+        if isinstance(cfg, InteractionCount)
+        and cfg.interaction == "impression" and cfg.ttl_ms
+    })
+    if imp_feats or imp_pools or imp_ttl_scopes:
         inj = inject_impressions(hist, commit_at_expiry, max_session_ms)
         imps = inj.filter(F.col("interaction_type") == "impression")
         id_frames = [
@@ -489,6 +544,12 @@ def snapshot(
             keyed = imps.withColumn("__ent", _entity_col(cfg.scope))
             id_frames.append(
                 _last_k_per_key(keyed, ["__ent"], cfg.count, horizon)
+                .select("ranking_id")
+            )
+        for scope in imp_ttl_scopes:
+            keyed = imps.withColumn("__ent", _entity_col(scope))
+            id_frames.append(
+                _last_k_per_key(keyed, ["__ent"], 1, horizon)
                 .select("ranking_id")
             )
         imp_ranking_ids = reduce(
@@ -524,7 +585,9 @@ def snapshot(
     )
     offsets = _counter_offsets(
         hist, tail, engine, t0_ms, commit_at_expiry, max_session_ms)
-    return IncrementalSnapshot(t0_ms, horizon, tail, offsets, commit_at_expiry)
+    return IncrementalSnapshot(
+        t0_ms, horizon, tail, offsets, commit_at_expiry,
+        engine_fingerprint(engine, max_session_ms))
 
 
 def roll_snapshot(
@@ -552,6 +615,7 @@ def roll_snapshot(
     if t1_ms <= snap.t0_ms:
         raise ValueError(f"roll target {t1_ms} must exceed cut {snap.t0_ms}")
     _check_supported(engine)
+    _check_fingerprint(snap, engine, max_session_ms, "roll_snapshot")
     # The previous tail is itself a ~20-frame union/join tree; the new
     # snapshot references its stream once per retention rule, so rolling
     # on the raw lineage squares the plan tree (Catalyst walks trees, not
@@ -566,6 +630,16 @@ def roll_snapshot(
     stream = tail.unionByName(delta.select(*tail.columns))
     new = snapshot(stream, t1_ms, engine, max_session_ms,
                    snap.commit_at_expiry)
+    # engine drift between roll steps (a counter removed from the config)
+    # would silently drop its accumulated offsets — same failure class the
+    # fingerprint catches, kept as a second line for pre-fingerprint snaps
+    dropped = sorted(set(snap.offsets) - set(new.offsets))
+    if dropped:
+        raise ValueError(
+            f"roll_snapshot: prior snapshot carries offsets for "
+            f"{dropped} but the engine no longer defines these "
+            "InteractionCount features — config drift between rolls"
+        )
     merged: dict[str, DataFrame] = {}
     for name in new.offsets:
         prev = snap.offsets.get(name)
@@ -584,7 +658,8 @@ def roll_snapshot(
             .filter(F.col("offset") != 0)
         )
     return IncrementalSnapshot(
-        t1_ms, new.horizon_ms, new.tail, merged, snap.commit_at_expiry)
+        t1_ms, new.horizon_ms, new.tail, merged, snap.commit_at_expiry,
+        new.fingerprint)
 
 
 def incremental_training_matrix(
@@ -599,6 +674,14 @@ def incremental_training_matrix(
     ``ts_ms > t0`` (tests/test_incremental.py property suite)."""
     _check_supported(engine)
     training_kwargs.setdefault("commit_at_expiry", snap.commit_at_expiry)
+    _check_fingerprint(
+        snap, engine,
+        training_kwargs.get("max_session_ms", MAX_SESSION_MS),
+        "incremental_training_matrix")
+    # defensive cut (mirrors roll_snapshot's): rows ≤ t0 are already
+    # represented by the tail — a caller passing the full event table
+    # instead of the delta must not double-count them
+    delta_events = delta_events.filter(F.col("ts_ms") > snap.t0_ms)
     stream = snap.tail.unionByName(
         delta_events.select(*snap.tail.columns)
     )
@@ -606,7 +689,7 @@ def incremental_training_matrix(
         F.col("ts_ms") > snap.t0_ms
     )
     for name, off in snap.offsets.items():
-        cfg = next(c for c in engine.features if c.name == name)
+        cfg = _feature_by_name(engine, name)
         ents = _delta_entities(delta_events, cfg.scope)
         if ents is not None:
             # delta-entity semi-join: AQE broadcasts the small delta dim,
@@ -617,16 +700,21 @@ def incremental_training_matrix(
             F.col("entity").alias(f"__off_ent_{name}"),
             F.col("offset").alias(f"__off_{name}"),
         )
+        off_val = F.coalesce(F.col(f"__off_{name}"), F.lit(0))
+        if cfg.ttl_ms:
+            # TTL gate: retention keeps the entity's true last write, so
+            # the replayed TTL-masked value is positive exactly where the
+            # full run's key is fresh (module docstring); where it reads
+            # 0.0 the key is expired in BOTH runs and the offset must not
+            # resurrect it
+            off_val = F.when(F.col(name) > 0, off_val).otherwise(F.lit(0))
         out = (
             out.join(
                 renamed,
                 _entity_out_col(cfg.scope) == F.col(f"__off_ent_{name}"),
                 "left",
             )
-            .withColumn(
-                name,
-                F.col(name) + F.coalesce(F.col(f"__off_{name}"), F.lit(0)),
-            )
+            .withColumn(name, F.col(name) + off_val)
             .drop(f"__off_ent_{name}", f"__off_{name}")
         )
     return out
@@ -634,8 +722,9 @@ def incremental_training_matrix(
 
 def save_snapshot(snap: IncrementalSnapshot, path: str) -> None:
     """Persist to a directory: tail + offsets as parquet, meta as JSON.
-    Local-filesystem descriptor (document: same constraint as the export
-    job's dataset.json)."""
+    The descriptor goes through the Hadoop FS API (same as the export
+    job's dataset.json) so ``path`` works on any supported filesystem —
+    hdfs://, s3a://, file: — not just the driver's local disk."""
     snap.tail.write.mode("overwrite").parquet(os.path.join(path, "tail"))
     for name, off in snap.offsets.items():
         off.write.mode("overwrite").parquet(
@@ -645,14 +734,32 @@ def save_snapshot(snap: IncrementalSnapshot, path: str) -> None:
         "horizon_ms": snap.horizon_ms,
         "offsets": sorted(snap.offsets),
         "commit_at_expiry": snap.commit_at_expiry,
+        "fingerprint": snap.fingerprint,
     }
-    with open(os.path.join(path, "snapshot.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
+    spark = snap.tail.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "snapshot.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(meta, indent=2).encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def load_snapshot(spark: SparkSession, path: str) -> IncrementalSnapshot:
-    with open(os.path.join(path, "snapshot.json")) as fh:
-        meta = json.load(fh)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "snapshot.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        # snapshot.json is a few hundred bytes; commons-io (shipped with
+        # Spark) drains it JVM-side — py4j cannot mutate a Python
+        # bytearray through stream.read(byte[])
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    meta = json.loads(bytes(raw).decode("utf-8"))
     tail = spark.read.parquet(os.path.join(path, "tail"))
     offsets = {
         name: spark.read.parquet(os.path.join(path, "offsets", name))
@@ -660,4 +767,4 @@ def load_snapshot(spark: SparkSession, path: str) -> IncrementalSnapshot:
     }
     return IncrementalSnapshot(
         meta["t0_ms"], meta["horizon_ms"], tail, offsets,
-        meta.get("commit_at_expiry", True))
+        meta.get("commit_at_expiry", True), meta.get("fingerprint"))

@@ -429,6 +429,84 @@ def test_backfill_job_snapshot_cli(spark, tmp_path):
     assert_matrices_equal(collect_matrix(full2), collect_matrix(inc2))
 
 
+def test_fingerprint_guards_config_drift(spark):
+    """Folding or rolling a snapshot with a feature config that differs
+    from the one it was built under must raise, not silently emit a wrong
+    matrix (the snapshot's retention rules are engine-specific)."""
+    from metarank_spark.operators.incremental import (
+        engine_fingerprint,
+        roll_snapshot,
+    )
+
+    rows = gen_events(17, n_events=80)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("wc", "click", (1, 3)),
+    ])
+    t0 = T0 + 20 * DAY
+    snap = snapshot(df, t0, eng)
+    assert snap.fingerprint == engine_fingerprint(eng)
+
+    drifted = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("wc", "click", (1, 7)),  # wider window: tail too thin
+    ])
+    with pytest.raises(ValueError, match="fingerprint"):
+        incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), drifted)
+    with pytest.raises(ValueError, match="fingerprint"):
+        roll_snapshot(snap, df.filter(f"ts_ms > {t0}"), t0 + 5 * DAY, drifted)
+    # a renamed counter is also caught by the offsets lookup even on
+    # pre-fingerprint snapshots
+    legacy = snapshot(df, t0, eng)
+    legacy.fingerprint = None
+    renamed = FeatureEngine([
+        InteractionCount("clicks2", "click"),
+        WindowCount("wc", "click", (1, 3)),
+    ])
+    with pytest.raises(ValueError, match="does not define"):
+        incremental_training_matrix(
+            legacy, df.filter(f"ts_ms > {t0}"), renamed)
+
+
+def test_fold_tolerates_full_table_as_delta(spark):
+    """A caller passing the FULL event table instead of the delta must get
+    the same (correct) matrix — the ts > t0 entry guard, not a silent
+    double-count of every tail row."""
+    rows = gen_events(19, n_events=120)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        WindowCount("wc", "click", (1, 3)),
+    ])
+    t0 = T0 + 25 * DAY
+    snap = snapshot(df, t0, eng)
+    via_delta = collect_matrix(incremental_training_matrix(
+        snap, df.filter(f"ts_ms > {t0}"), eng))
+    via_full = collect_matrix(incremental_training_matrix(snap, df, eng))
+    assert_matrices_equal(via_delta, via_full)
+
+
+def test_save_load_file_uri(spark, tmp_path):
+    """The descriptor goes through the Hadoop FS API: a file: URI path
+    (any supported scheme) round-trips."""
+    rows = gen_events(23, n_events=60)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    t0 = T0 + 20 * DAY
+    snap = snapshot(df, t0, eng)
+    uri = "file://" + str(tmp_path / "snap_uri")
+    save_snapshot(snap, uri)
+    loaded = load_snapshot(spark, uri)
+    assert loaded.t0_ms == snap.t0_ms
+    assert loaded.fingerprint == snap.fingerprint
+    inc_a = collect_matrix(incremental_training_matrix(
+        snap, df.filter(f"ts_ms > {t0}"), eng))
+    inc_b = collect_matrix(incremental_training_matrix(
+        loaded, df.filter(f"ts_ms > {t0}"), eng))
+    assert_matrices_equal(inc_a, inc_b)
+
+
 def test_unsupported_configs_raise(spark):
     rows = gen_events(5, n_events=40)
     df = events_df(spark, rows)
