@@ -153,6 +153,53 @@ def q_incremental_count(spark: SparkSession, sf: str) -> DataFrame:
     return _keys(out, "clicks_cum")
 
 
+def q_incremental_count_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """TTL'd incremental counter (operators/incremental.py TTL lift): the
+    snapshot retains each user's LAST click — so replayed freshness
+    decisions equal the full stream's — plus a count offset for the rest
+    of history; the offset is added only where the replayed TTL-masked
+    value is positive (a stale key reads 0 in BOTH runs, and must not be
+    resurrected by the offset). The oracle recomputes the TTL'd running
+    count over the FULL stream and restricts to post-cut rows, so a hash
+    match proves the gated incremental fold is exact."""
+    ttl = 3 * MS_DAY
+    ev = _ev(spark, sf)
+    mid = ev.agg(
+        F.floor((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long")
+    ).collect()[0][0]  # scalar-only driver read (1 row)
+    hist = ev.filter(F.col("ts_ms") <= mid)
+    delta = ev.filter(F.col("ts_ms") > mid)
+    clicks = hist.filter(F.col("event_type") == "click")
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc())
+    tail = (
+        clicks.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    offsets = clicks.groupBy("user_id").agg(
+        (F.count(F.lit(1)) - 1).alias("__off"))
+    stream = tail.unionByName(delta)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w)
+    last_w = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_ms"))).over(w)
+    out = stream.join(offsets, "user_id", "left").select(
+        "event_id", "user_id", "ts_ms",
+        F.when(
+            (F.col("ts_ms") - last_w) <= F.lit(ttl),
+            cnt + F.when(
+                cnt > 0, F.coalesce(F.col("__off"), F.lit(0))
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0)).cast("long").alias("clicks_ttl"),
+    )
+    return out.filter(F.col("ts_ms") > mid)
+
+
 def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-session bounds/counts on top of gap sessionization."""
     s = sessionize(_ev(spark, sf), gap_ms=GAP_MS)
@@ -953,16 +1000,23 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_clusters(spark: SparkSession, sf: str):
+    """Shared MinHash-LSH pairs → connected-components prefix for the
+    cluster/keep queries: (tokenized sequences, cluster assignment). As
+    independent oracle queries each runs its own job, but in one job the
+    common frames are built once."""
+    seq = tx.tokenized_sequences(spark, sf)
+    pairs = dd.minhash_lsh_pairs(seq, threshold=0.1)
+    return seq, dd.connected_components(pairs, seq.select("doc_id"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
     MinHash-LSH pair list (iterative min-label propagation; the canonical
     survivor of each component is its lexicographically smallest doc).
     The step a real curation pipeline runs after pair generation — keep
     one doc per cluster."""
-    seq = tx.tokenized_sequences(spark, sf)
-    pairs = dd.minhash_lsh_pairs(seq, threshold=0.1)
-    ids = seq.select("doc_id")
-    return dd.connected_components(pairs, ids)
+    return _doc_clusters(spark, sf)[1]
 
 
 def q_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
@@ -971,9 +1025,7 @@ def q_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
     (most tokens), ties to the smallest doc_id. Two grouped aggregations
     over the cluster frame; integer keep-scores make the choice
     bit-stable across engines."""
-    seq = tx.tokenized_sequences(spark, sf)
-    pairs = dd.minhash_lsh_pairs(seq, threshold=0.1)
-    clusters = dd.connected_components(pairs, seq.select("doc_id"))
+    seq, clusters = _doc_clusters(spark, sf)
     j = clusters.join(seq.select("doc_id", "n_tok"), "doc_id")
     m = j.groupBy("cluster_id").agg(F.max("n_tok").alias("__mx"))
     return (
@@ -1474,6 +1526,17 @@ _ORACLES: dict[str, str] = {
               OVER ({W_ROWS})::BIGINT AS clicks_cum
           FROM ev)
         WHERE ts_ms > (SELECT (min(ts_ms) + max(ts_ms)) // 2 FROM ev)""",
+    "incremental_count_ttl": f"""
+        {EV}
+        SELECT * FROM (
+          SELECT {KEYS},
+            (CASE WHEN ts_ms - max(CASE WHEN event_type='click' THEN ts_ms END)
+                    OVER ({W_ROWS}) <= {3 * MS_DAY}
+             THEN sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                    OVER ({W_ROWS})
+             ELSE 0 END)::BIGINT AS clicks_ttl
+          FROM ev)
+        WHERE ts_ms > (SELECT (min(ts_ms) + max(ts_ms)) // 2 FROM ev)""",
     "last_scalar": f"""
         {EV}
         SELECT {KEYS},
@@ -1749,6 +1812,7 @@ _ORACLES: dict[str, str] = {
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interaction_count": q_interaction_count,
     "incremental_count": q_incremental_count,
+    "incremental_count_ttl": q_incremental_count_ttl,
     "last_scalar": q_last_scalar,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -1797,6 +1861,12 @@ _ORACLES["interaction_count_salted"] = _ORACLES["interaction_count"]
 #   stats_percentile    ⊂ stats_window (same bounded-pool StatsEstimator
 #                         fold; the p50/p90 read is golden-tested and
 #                         retired to make room for incremental_count)
+#   interaction_count_salted ⊂ interaction_count (same query; the salted
+#                         plan's bit-identity is property-tested in
+#                         tests/test_engine_salted.py and plan-gated;
+#                         sessionize_salted stays as the driver's salted
+#                         representative — retired to make room for
+#                         incremental_count_ttl)
 # They remain first-class locally: all_queries()/all_oracles() feed
 # tests/test_correctness.py and bench.py, so each still runs the full
 # DuckDB comparison every CI pass.
@@ -1804,7 +1874,7 @@ _RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _RETIRED_ORACLES: dict[str, str] = {}
 for _rname in (
     "lag_lead", "window_count", "freq_share_sampled", "simhash",
-    "source_stats", "stats_percentile",
+    "source_stats", "stats_percentile", "interaction_count_salted",
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)

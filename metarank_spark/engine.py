@@ -645,7 +645,8 @@ class FeatureEngine:
         ).select("item_id", "ts_ms", "seq", head.alias("fval"))
 
     def _field_scoped_writes(
-        self, events: DataFrame, interaction: str, head: str, field: str
+        self, events: DataFrame, interaction: str, head: str, field: str,
+        keep_src: bool = False,
     ) -> DataFrame:
         """Interaction write stream keyed by the FIELD-derived entity.
 
@@ -656,7 +657,11 @@ class FeatureEngine:
         item) — RateFeature.scala:138-175 via the RankingScope put; the
         scope keeps the item id (Scope.scala:48-52 RankingFieldScope).
         Interactions whose field value is unknown write nothing (reference
-        emits Nil)."""
+        emits Nil).
+
+        ``keep_src``: carry provenance for incremental retention — the
+        interaction's ``ranking_id`` and the matched field event's seq
+        (``__fseq``, null for the ranking head which has no as-of hop)."""
         vcols = (
             ["vts_ms"]
             if "vts_ms" in events.columns and interaction in self.late_types
@@ -668,12 +673,17 @@ class FeatureEngine:
         ).select("item_id", "ranking_id", "ts_ms", "seq", *vcols)
         if head == "item":
             fv = self._field_value_series(events, field)
+            values = ["fval"]
+            if keep_src:
+                fv = fv.withColumn("__fsrc", F.col("seq"))
+                values = ["fval", "__fsrc"]
             j = asof_join(
                 ints, fv, on="item_id",
-                left_seq="seq", right_seq="seq", values=["fval"],
+                left_seq="seq", right_seq="seq", values=values,
                 strict=True, suffix="_w",
             )
             ent = F.col("fval_w")
+            fseq = F.col("__fsrc_w") if keep_src else None
         else:
             rk = events.filter(F.col("event_type") == "ranking").select(
                 F.col("event_id").alias("ranking_id"),
@@ -684,8 +694,12 @@ class FeatureEngine:
                 F.col("fval").isNotNull(),
                 F.concat(F.col("fval"), F.lit(FIELD_SCOPE_SEP), F.col("item_id")),
             )
+            fseq = F.lit(None).cast("long") if keep_src else None
+        extra = (
+            ["ranking_id", fseq.alias("__fseq")] if keep_src else []
+        )
         return (
-            j.select(ent.alias("entity"), "ts_ms", "seq", *vcols)
+            j.select(ent.alias("entity"), "ts_ms", "seq", *vcols, *extra)
             .filter(F.col("entity").isNotNull())
         )
 

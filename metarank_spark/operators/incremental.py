@@ -61,11 +61,34 @@ impression). A stale key reads 0.0 in BOTH runs, so the offset join is
 gated per row: the offset is added only where the replayed (TTL-masked)
 value is positive, i.e. exactly where the full run's key is fresh.
 
-Restrictions (raise at snapshot time):
-- Field-scoped counter scopes (``item.color``) are unsupported in v1 —
-  writes are keyed by the item's field value AS-OF the write time, so a
-  bounded last-value retention cannot reproduce historical re-keyings
-  (and the offset join has no static output column to attach to).
+Field-scoped counters (``item.<field>`` / ``ranking.<field>``,
+Scope.scala:43-52): writes are keyed by a FIELD-derived entity — the
+item's field value as-of the write for the item head (an as-of hop), the
+interaction's ranking's own field + item id for the ranking head. Three
+mechanisms make the bounded tail reproduce historical re-keyings exactly:
+
+1. *Selection over derived entities*: which pre-cut interactions to
+   retain (window context for windowed legs, last-1 for lifetime/TTL
+   freshness) is decided on the derived write stream — for raw legs and
+   for injected-impression legs (whose generating clickthroughs are
+   pulled whole, as for plain scopes).
+2. *As-of fix-up*: after the provisional tail is closed, one pass pulls,
+   for EVERY tail interaction of an item-head-scoped type (and every
+   injected impression of the tail's clickthroughs), the exact item
+   event its as-of hop resolves to over FULL history. Replay then
+   re-derives bit-identical entities: the true as-of target is present,
+   and rows older than the true last never change an as-of read — which
+   also makes these pulls safe for every other feature's retention.
+3. *Derived-entity offsets*: lifetime-counter offsets group by the
+   derived entity on both sides of the diff, and the fold re-derives
+   each output row's entity (as-of against the tail∪delta field series
+   for the item head; the ranking's own field + item id for the ranking
+   head) before the gated offset join. Entity-null rows (field unknown)
+   read 0.0 in both runs and get no offset.
+
+The ranking head needs no fix-up: every retained FK'd interaction's
+ranking is pulled by the completion closure, so replay re-joins the same
+ranking fields.
 """
 
 from __future__ import annotations
@@ -80,6 +103,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metarank_spark.engine import (
+    FIELD_SCOPE_SEP,
     GLOBAL_ENTITY,
     Boolean,
     Diversity,
@@ -100,7 +124,9 @@ from metarank_spark.engine import (
     WindowCount,
     WordCount,
     _entity_col,
+    _parse_field_scope,
 )
+from metarank_spark.plans.asof import asof_join
 from metarank_spark.operators.clickthrough import (
     MAX_SESSION_MS,
     inject_impressions,
@@ -170,18 +196,6 @@ def _check_fingerprint(snap: IncrementalSnapshot, engine,
         )
 
 
-def _check_supported(engine) -> None:
-    for cfg in engine.features:
-        if isinstance(cfg, (InteractionCount, WindowCount, Rate)) and \
-                "." in cfg.scope:
-            raise NotImplementedError(
-                "incremental: field-scoped counters are not supported in "
-                "v1 — writes are keyed by the item's field value AS-OF "
-                "the write, so bounded retention cannot reproduce "
-                "historical re-keyings after the field value changes"
-            )
-
-
 def history_horizon_ms(engine, max_session_ms: int = MAX_SESSION_MS) -> int:
     """Replay horizon: the widest trailing window any feature reads, plus
     one bucket of edge slack, plus two session lengths (impression commits
@@ -219,16 +233,15 @@ def _last_k_per_key(
     )
 
 
-def _window_context(writes: DataFrame, scope: str,
-                    periods: tuple, bucket_ms: int) -> DataFrame:
-    """Writes inside the entity's last-anchored window: every write whose
-    bucket is within max(periods) of the entity's LAST bucket. A read
-    after the cut carries the last write's vector, whose trailing sums
-    range over exactly these rows."""
-    w = writes.withColumn("__ent", _entity_col(scope))
+def _window_context_keyed(w: DataFrame, periods: tuple,
+                          bucket_ms: int) -> DataFrame:
+    """Rows of ``w`` (pre-keyed: carries ``__ent``) inside each entity's
+    last-anchored window: every write whose bucket is within max(periods)
+    of the entity's LAST bucket. A read after the cut carries the last
+    write's vector, whose trailing sums range over exactly these rows."""
     vts = (
         F.coalesce(F.col("vts_ms"), F.col("ts_ms"))
-        if "vts_ms" in writes.columns
+        if "vts_ms" in w.columns
         else F.col("ts_ms")
     )
     w = w.withColumn("__bucket", F.floor(vts / F.lit(bucket_ms)))
@@ -237,6 +250,27 @@ def _window_context(writes: DataFrame, scope: str,
         w.join(last, "__ent")
         .filter(F.col("__bucket") >= F.col("__last_bucket") - max(periods))
         .drop("__ent", "__bucket", "__last_bucket")
+    )
+
+
+def _window_context(writes: DataFrame, scope: str,
+                    periods: tuple, bucket_ms: int) -> DataFrame:
+    return _window_context_keyed(
+        writes.withColumn("__ent", _entity_col(scope)), periods, bucket_ms)
+
+
+def _pull_by_seq(hist: DataFrame, picked: DataFrame) -> DataFrame:
+    """The raw hist rows whose seq appears in ``picked`` (seq, plus the
+    matched field event's __fseq when present) — selection frames over
+    DERIVED write streams resolve back to raw events this way."""
+    seqs = picked.select(F.col("seq").alias("__pull_seq"))
+    if "__fseq" in picked.columns:
+        seqs = seqs.unionByName(
+            picked.filter(F.col("__fseq").isNotNull())
+            .select(F.col("__fseq").alias("__pull_seq"))
+        )
+    return hist.join(
+        seqs.distinct(), F.col("seq") == F.col("__pull_seq"), "leftsemi"
     )
 
 
@@ -305,28 +339,75 @@ def _retention_frames(hist: DataFrame, engine, horizon: int) -> list[DataFrame]:
         out = _last_k_per_key(keyed, ["__ent", *extra_keys], k, horizon)
         return out.drop("__ent")
 
+    field_carry: set[str] = set()  # item-head fields needing last-1 carry
+
+    def derived(itype, fs):
+        return engine._field_scoped_writes(hist, itype, *fs, keep_src=True)
+
     for cfg in engine.features:
         if isinstance(cfg, (WindowCount, Rate)):
+            fs = _parse_field_scope(cfg.scope)
+            if fs and fs[0] == "item":
+                field_carry.add(fs[1])
             itypes = (
                 (cfg.interaction,) if isinstance(cfg, WindowCount)
                 else (cfg.top, cfg.bottom)
             )
             for itype in itypes:
-                if itype == "impression":
-                    # injected at replay time; context pulled via the
-                    # generating clickthroughs (see snapshot())
-                    continue
-                frames.append(_window_context(
-                    _interaction_of(hist, itype), cfg.scope,
-                    cfg.periods, cfg.bucket_ms))
+                # For itype == "impression" this covers the RAW
+                # impression events only; the injected ones are
+                # regenerated at replay via the clickthrough pulls in
+                # snapshot(). Anchoring the context on the raw-only
+                # stream is a safe SUPERSET: every raw row inside the
+                # true (raw ∪ injected)-anchored window has bucket ≥
+                # trueLast − max(p) ≥ rawLast − max(p), so it is inside
+                # the raw-anchored window too.
+                if fs:
+                    # selection over the DERIVED entity: the window
+                    # context of the field-keyed write stream, resolved
+                    # back to raw rows (+ matched field events)
+                    ctx = _window_context_keyed(
+                        derived(itype, fs).withColumn(
+                            "__ent", F.col("entity")),
+                        cfg.periods, cfg.bucket_ms)
+                    frames.append(_pull_by_seq(hist, ctx))
+                else:
+                    frames.append(_window_context(
+                        _interaction_of(hist, itype), cfg.scope,
+                        cfg.periods, cfg.bucket_ms))
                 if isinstance(cfg, Rate) and cfg.normalize_weight is not None:
                     frames.append(_window_context(
                         _interaction_of(hist, itype), "global",
                         cfg.periods, cfg.bucket_ms))
         elif isinstance(cfg, InteractionCount):
+            fs = _parse_field_scope(cfg.scope)
+            if fs and fs[0] == "item":
+                field_carry.add(fs[1])
             if cfg.interaction != "impression":
-                frames.append(last_k(
-                    _interaction_of(hist, cfg.interaction), cfg.scope, 1))
+                if fs:
+                    lw = _last_k_per_key(
+                        derived(cfg.interaction, fs).withColumn(
+                            "__ent", F.col("entity")),
+                        ["__ent"], 1, horizon)
+                    frames.append(_pull_by_seq(hist, lw))
+                else:
+                    frames.append(last_k(
+                        _interaction_of(hist, cfg.interaction), cfg.scope, 1))
+            elif cfg.ttl_ms:
+                # TTL freshness needs the entity's true last write: a RAW
+                # impression event is a matching write too (the
+                # injected-side candidate is pulled via the clickthrough
+                # closure in snapshot()); retaining both candidates keeps
+                # the replayed last-write ts equal to the full stream's
+                if fs:
+                    lw = _last_k_per_key(
+                        derived(cfg.interaction, fs).withColumn(
+                            "__ent", F.col("entity")),
+                        ["__ent"], 1, horizon)
+                    frames.append(_pull_by_seq(hist, lw))
+                else:
+                    frames.append(last_k(
+                        _interaction_of(hist, cfg.interaction), cfg.scope, 1))
         elif isinstance(cfg, (Number, Boolean, StringEncode, WordCount,
                               Vector)):
             if cfg.source == "ranking":
@@ -385,6 +466,16 @@ def _retention_frames(hist: DataFrame, engine, horizon: int) -> list[DataFrame]:
                 "item", 1))
         # Relevancy / Position / LocalTime / Random are ranking-local:
         # nothing to retain
+    for fld in sorted(field_carry):
+        # read-side carry for item-head field scopes: the last
+        # field-value event per item, so post-cut reads and delta-era
+        # writes resolve their as-of hop (predicate matches
+        # engine._field_value_series exactly)
+        src = hist.filter(
+            (F.col("event_type") == "item")
+            & F.col("str_fields").getItem(fld).getItem(0).isNotNull()
+        )
+        frames.append(last_k(src, "item", 1))
     return frames
 
 
@@ -404,6 +495,86 @@ def _impression_window_feats(engine):
         if isinstance(cfg, Rate) and cfg.normalize_weight is not None:
             out.append((cfg.periods, cfg.bucket_ms, "global"))
     return out
+
+
+def _item_field_itypes(engine) -> dict[str, set[str]]:
+    """field → interaction types, for every ``item.<field>``-scoped
+    counter leg (the writes that derive their entity via an as-of hop)."""
+    needed: dict[str, set[str]] = {}
+    for cfg in engine.features:
+        if not isinstance(cfg, (InteractionCount, WindowCount, Rate)):
+            continue
+        fs = _parse_field_scope(cfg.scope)
+        if not fs or fs[0] != "item":
+            continue
+        itypes = (
+            (cfg.top, cfg.bottom) if isinstance(cfg, Rate)
+            else (cfg.interaction,)
+        )
+        needed.setdefault(fs[1], set()).update(itypes)
+    return needed
+
+
+def _field_asof_fixup(
+    hist: DataFrame, tail: DataFrame, engine,
+    commit_at_expiry: bool, max_session_ms: int,
+) -> DataFrame:
+    """Module docstring mechanism 2: for EVERY tail interaction of an
+    item-head-scoped type — and every injected impression of the tail's
+    clickthroughs — pull the exact item event its as-of hop resolves to
+    over FULL history, so replay re-derives bit-identical entities. The
+    pulled rows are item events OLDER than each item's retained last
+    value, which never change any other feature's as-of reads."""
+    needed = _item_field_itypes(engine)
+    if not needed:
+        return tail
+    # the fix-up references the (bounded) tail several times and injects
+    # it — truncate lineage at the composition boundary so Catalyst does
+    # not copy the whole retention tree per reference
+    tail = tail.localCheckpoint(eager=False)
+    inj_tail = None
+    if any("impression" in its for its in needed.values()):
+        inj_tail = inject_impressions(tail, commit_at_expiry, max_session_ms)
+    fix_frames = []
+    for fld, its in sorted(needed.items()):
+        fv = engine._field_value_series(hist, fld).withColumn(
+            "__fsrc", F.col("seq"))
+        raw_its = sorted(its - {"impression"})
+        pull_seqs = []
+        if raw_its:
+            ints0 = tail.filter(
+                (F.col("event_type") == "interaction")
+                & F.col("interaction_type").isin(raw_its)
+            ).select("item_id", "ts_ms", "seq")
+            j = asof_join(
+                ints0, fv, on="item_id", left_seq="seq", right_seq="seq",
+                values=["__fsrc"], strict=True, suffix="_p")
+            pull_seqs.append(
+                j.filter(F.col("__fsrc_p").isNotNull())
+                .select(F.col("__fsrc_p").alias("__pull_seq")))
+        if "impression" in its:
+            imps0 = inj_tail.filter(
+                F.col("interaction_type") == "impression"
+            ).select("item_id", "ts_ms", "seq")
+            # injected seqs live in the doubled domain; lift the field
+            # series into it for an order-identical as-of
+            fv2 = fv.select(
+                "item_id", "ts_ms",
+                (F.col("seq") * 2).alias("seq"), "__fsrc")
+            j = asof_join(
+                imps0, fv2, on="item_id", left_seq="seq", right_seq="seq",
+                values=["__fsrc"], strict=True, suffix="_p")
+            pull_seqs.append(
+                j.filter(F.col("__fsrc_p").isNotNull())
+                .select(F.col("__fsrc_p").alias("__pull_seq")))
+        allseq = reduce(lambda a, b: a.unionByName(b), pull_seqs).distinct()
+        fix_frames.append(hist.join(
+            allseq, F.col("seq") == F.col("__pull_seq"), "leftsemi"))
+    out = reduce(
+        lambda a, b: a.unionByName(b.select(*tail.columns)),
+        [tail, *fix_frames],
+    )
+    return out.dropDuplicates(["seq"])
 
 
 def _feature_by_name(engine, name: str):
@@ -466,7 +637,19 @@ def _counter_offsets(
         full, part = hist, tail
     out: dict[str, DataFrame] = {}
     for cfg in ics:
-        def counts(df):
+        fs = _parse_field_scope(cfg.scope)
+
+        def counts(df, cfg=cfg, fs=fs):
+            if fs:
+                # derived-entity counts: the tail side re-derives the
+                # same entities as full history (as-of fix-up), so the
+                # per-entity diff is exact
+                w = engine._field_scoped_writes(df, cfg.interaction, *fs)
+                return (
+                    w.filter(F.col("ts_ms") <= t0_ms)
+                    .groupBy("entity")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
             return (
                 df.filter(
                     (F.col("event_type") == "interaction")
@@ -501,7 +684,6 @@ def snapshot(
     bounded retained event set + counter offsets that make
     ``incremental_training_matrix`` bit-identical to a full replay for
     every ranking after ``t0_ms``."""
-    _check_supported(engine)
     horizon = history_horizon_ms(engine, max_session_ms)
     hist = events.filter(F.col("ts_ms") <= t0_ms)
     recent = hist.filter(F.col("ts_ms") > t0_ms - horizon)
@@ -532,14 +714,37 @@ def snapshot(
         if isinstance(cfg, InteractionCount)
         and cfg.interaction == "impression" and cfg.ttl_ms
     })
+    imp_field_pulls: list[DataFrame] = []
     if imp_feats or imp_pools or imp_ttl_scopes:
         inj = inject_impressions(hist, commit_at_expiry, max_session_ms)
         imps = inj.filter(F.col("interaction_type") == "impression")
-        id_frames = [
-            _window_context(imps, scope, periods, bucket_ms)
-            .select("ranking_id")
-            for periods, bucket_ms, scope in imp_feats
-        ]
+
+        def inj_derived(fs):
+            return engine._field_scoped_writes(
+                inj, "impression", *fs, keep_src=True)
+
+        def inj_field_events(picked):
+            # __fseq on the injected stream is the matched item event's
+            # DOUBLED raw seq — resolve back to raw hist rows
+            seqs = picked.filter(F.col("__fseq").isNotNull()).select(
+                (F.col("__fseq") / 2).cast("long").alias("__pull_seq"))
+            return hist.join(
+                seqs.distinct(),
+                F.col("seq") == F.col("__pull_seq"), "leftsemi")
+
+        id_frames = []
+        for periods, bucket_ms, scope in imp_feats:
+            fs = _parse_field_scope(scope)
+            if fs:
+                ctx = _window_context_keyed(
+                    inj_derived(fs).withColumn("__ent", F.col("entity")),
+                    periods, bucket_ms)
+                id_frames.append(ctx.select("ranking_id"))
+                imp_field_pulls.append(inj_field_events(ctx))
+            else:
+                id_frames.append(
+                    _window_context(imps, scope, periods, bucket_ms)
+                    .select("ranking_id"))
         for cfg in imp_pools:
             keyed = imps.withColumn("__ent", _entity_col(cfg.scope))
             id_frames.append(
@@ -547,11 +752,19 @@ def snapshot(
                 .select("ranking_id")
             )
         for scope in imp_ttl_scopes:
-            keyed = imps.withColumn("__ent", _entity_col(scope))
-            id_frames.append(
-                _last_k_per_key(keyed, ["__ent"], 1, horizon)
-                .select("ranking_id")
-            )
+            fs = _parse_field_scope(scope)
+            if fs:
+                lw = _last_k_per_key(
+                    inj_derived(fs).withColumn("__ent", F.col("entity")),
+                    ["__ent"], 1, horizon)
+                id_frames.append(lw.select("ranking_id"))
+                imp_field_pulls.append(inj_field_events(lw))
+            else:
+                keyed = imps.withColumn("__ent", _entity_col(scope))
+                id_frames.append(
+                    _last_k_per_key(keyed, ["__ent"], 1, horizon)
+                    .select("ranking_id")
+                )
         imp_ranking_ids = reduce(
             lambda a, b: a.unionByName(b), id_frames
         ).distinct()
@@ -583,6 +796,13 @@ def snapshot(
         .unionByName(pulled_ints.select(*kept.columns))
         .dropDuplicates(["seq"])
     )
+    for f in imp_field_pulls:
+        # item events backing injected-leg as-of hops (no closure impact)
+        tail = tail.unionByName(f.select(*kept.columns))
+    if imp_field_pulls:
+        tail = tail.dropDuplicates(["seq"])
+    tail = _field_asof_fixup(
+        hist, tail, engine, commit_at_expiry, max_session_ms)
     offsets = _counter_offsets(
         hist, tail, engine, t0_ms, commit_at_expiry, max_session_ms)
     return IncrementalSnapshot(
@@ -614,7 +834,6 @@ def roll_snapshot(
     (tests/test_incremental.py::test_roll_equals_fresh)."""
     if t1_ms <= snap.t0_ms:
         raise ValueError(f"roll target {t1_ms} must exceed cut {snap.t0_ms}")
-    _check_supported(engine)
     _check_fingerprint(snap, engine, max_session_ms, "roll_snapshot")
     # The previous tail is itself a ~20-frame union/join tree; the new
     # snapshot references its stream once per retention rule, so rolling
@@ -672,7 +891,6 @@ def incremental_training_matrix(
     tail ∪ delta through the UNCHANGED engine, then adding the counter
     offsets. Equals ``training_matrix(full_events, engine)`` filtered to
     ``ts_ms > t0`` (tests/test_incremental.py property suite)."""
-    _check_supported(engine)
     training_kwargs.setdefault("commit_at_expiry", snap.commit_at_expiry)
     _check_fingerprint(
         snap, engine,
@@ -690,12 +908,16 @@ def incremental_training_matrix(
     )
     for name, off in snap.offsets.items():
         cfg = _feature_by_name(engine, name)
-        ents = _delta_entities(delta_events, cfg.scope)
-        if ents is not None:
-            # delta-entity semi-join: AQE broadcasts the small delta dim,
-            # so the (entity-cardinality-sized) offsets frame is scanned
-            # once and never shuffled
-            off = off.join(ents, "entity", "leftsemi")
+        fs = _parse_field_scope(cfg.scope)
+        if fs is None:
+            ents = _delta_entities(delta_events, cfg.scope)
+            if ents is not None:
+                # delta-entity semi-join: AQE broadcasts the small delta
+                # dim, so the (entity-cardinality-sized) offsets frame is
+                # scanned once and never shuffled
+                off = off.join(ents, "entity", "leftsemi")
+        # field scopes skip pruning: the readable entities are derived
+        # values, not a static column of the delta
         renamed = off.select(
             F.col("entity").alias(f"__off_ent_{name}"),
             F.col("offset").alias(f"__off_{name}"),
@@ -708,14 +930,55 @@ def incremental_training_matrix(
             # 0.0 the key is expired in BOTH runs and the offset must not
             # resurrect it
             off_val = F.when(F.col(name) > 0, off_val).otherwise(F.lit(0))
+        if fs is None:
+            row_ent = _entity_out_col(cfg.scope)
+        else:
+            # re-derive each output row's field-scoped entity, exactly as
+            # the engine's read side does (_asof_field_series): the
+            # item's field value as-of the ranking for the item head, the
+            # ranking's own field + item id for the ranking head
+            head, fld = fs
+            if head == "item":
+                fv = engine._field_value_series(stream, fld)
+                fv2 = fv.select(
+                    "item_id", "ts_ms",
+                    (F.col("seq") * 2).alias("seq"), "fval")
+                der = asof_join(
+                    out.select(
+                        "ranking_id", "position", "item_id",
+                        "ts_ms", "seq"),
+                    fv2, on="item_id", left_seq="seq", right_seq="seq",
+                    values=["fval"], strict=True, suffix="_oe",
+                ).select(
+                    "ranking_id", "position",
+                    F.col("fval_oe").alias("__row_ent"))
+                out = out.join(der, ["ranking_id", "position"], "left")
+            else:
+                rk = stream.filter(
+                    F.col("event_type") == "ranking"
+                ).select(
+                    F.col("event_id").alias("ranking_id"),
+                    F.col("str_fields").getItem(fld).getItem(0)
+                    .alias("__rk_fval"),
+                )
+                out = out.join(rk, "ranking_id", "left").withColumn(
+                    "__row_ent",
+                    F.when(
+                        F.col("__rk_fval").isNotNull(),
+                        F.concat(
+                            F.col("__rk_fval"), F.lit(FIELD_SCOPE_SEP),
+                            F.col("item_id")),
+                    ),
+                ).drop("__rk_fval")
+            row_ent = F.col("__row_ent")
         out = (
             out.join(
                 renamed,
-                _entity_out_col(cfg.scope) == F.col(f"__off_ent_{name}"),
+                row_ent == F.col(f"__off_ent_{name}"),
                 "left",
             )
             .withColumn(name, F.col(name) + off_val)
-            .drop(f"__off_ent_{name}", f"__off_{name}")
+            .drop(f"__off_ent_{name}", f"__off_{name}", "__row_ent")
         )
     return out
 

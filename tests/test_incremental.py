@@ -429,6 +429,120 @@ def test_backfill_job_snapshot_cli(spark, tmp_path):
     assert_matrices_equal(collect_matrix(full2), collect_matrix(inc2))
 
 
+def event_builder():
+    """Hand-built streams for targeted scenarios: rows must be appended in
+    (ts, seq) order."""
+    rows = []
+
+    def add(**kw):
+        base = dict(event_id=f"e{len(rows)}", ts_ms=T0, seq=len(rows),
+                    item_id=None, user_id=None, session_id=None,
+                    ranking_id=None, interaction_type=None, items=None,
+                    str_fields={}, num_fields={}, numlist_fields={})
+        base.update(kw)
+        rows.append(base)
+        return base["event_id"]
+
+    return rows, add
+
+
+def test_stale_anchor_raw_impressions_retained(spark):
+    """Regression (round-4 latent gap, luck-masked by wide horizons): an
+    entity read after the cut whose last RAW impression predates the
+    horizon — a post-cut read carries that stale write's window vector,
+    so its context must be retained even though no clickthrough pull and
+    no recent-window row covers it."""
+    rows, add = event_builder()
+
+    # free impressions for pX on days 0..2 — its last-anchored window
+    for d in range(3):
+        for i in range(d + 1):
+            add(event_type="interaction", ts_ms=T0 + d * DAY + i * MIN,
+                item_id="pX", user_id="u1", session_id="u1",
+                interaction_type="impression")
+    add(event_type="interaction", ts_ms=T0 + 2 * DAY + 30 * MIN,
+        item_id="pX", user_id="u1", session_id="u1",
+        interaction_type="click")
+    # unrelated recent traffic so the horizon window is non-empty
+    add(event_type="interaction", ts_ms=T0 + 29 * DAY, item_id="pY",
+        user_id="u2", session_id="u2", interaction_type="impression")
+    # post-cut ranking reads pX: must carry the stale day-2 vector
+    rid = add(event_type="ranking", ts_ms=T0 + 31 * DAY, user_id="u2",
+              session_id="u2",
+              items=[{"id": "pX", "relevancy": 1.0},
+                     {"id": "pY", "relevancy": 1.0}])
+    add(event_type="interaction", ts_ms=T0 + 31 * DAY + MIN, item_id="pX",
+        user_id="u2", session_id="u2", ranking_id=rid,
+        interaction_type="click")
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        WindowCount("wimp", "impression", (1, 3)),
+        Rate("ctr", "click", "impression", (2,)),
+    ])
+    t0 = T0 + 30 * DAY
+    full = collect_matrix(training_matrix(df, eng).filter(f"ts_ms > {t0}"))
+    # the read really does carry a non-missing stale vector
+    px = next(v for v in full.values() if v["item_id"] == "pX")
+    assert not math.isnan(px["wimp"][0])
+    snap = snapshot(df, t0, eng)
+    inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), eng)
+    assert_matrices_equal(full, collect_matrix(inc))
+
+
+def test_interacted_with_field_change_straddling_cut(spark):
+    """Adversarial two-phase-read check (FeatureValueLoader.scala:11-26):
+    the visitor's bounded list straddles the cut while a visited item's
+    field value CHANGES inside the horizon — stage 2 must read the
+    post-change value as-of the ranking, from a tail that retains the
+    pre-horizon baseline via last-1 carry and the in-horizon change via
+    the recent window."""
+    rows, add = event_builder()
+    # pre-horizon item metadata (relies on last-1 carry)
+    add(event_type="item", ts_ms=T0 + 5 * DAY, item_id="A",
+        str_fields={"color": ["red"]})
+    add(event_type="item", ts_ms=T0 + 5 * DAY + MIN, item_id="B",
+        str_fields={"color": ["green"]})
+    add(event_type="item", ts_ms=T0 + 5 * DAY + 2 * MIN, item_id="D",
+        str_fields={"color": ["yellow"]})
+    # the visitor's clicks: just before the cut (list straddles it)
+    t_click = T0 + 29 * DAY + 21 * 60 * MIN  # day 29.875
+    add(event_type="interaction", ts_ms=t_click, item_id="A",
+        user_id="u", session_id="u", interaction_type="click")
+    add(event_type="interaction", ts_ms=t_click + MIN, item_id="B",
+        user_id="u", session_id="u", interaction_type="click")
+    # A's color changes AFTER the visit, INSIDE the horizon, BEFORE cut
+    add(event_type="item", ts_ms=T0 + 29 * DAY + 23 * 60 * MIN,
+        item_id="A", str_fields={"color": ["blue"]})
+    # D's color changes in the DELTA, before the ranking
+    add(event_type="item", ts_ms=T0 + 30 * DAY + 60 * MIN, item_id="D",
+        str_fields={"color": ["blue"]})
+    # post-cut ranking by the same visitor: candidate D(blue) overlaps
+    # A's POST-change color; E(green, set below) overlaps B
+    add(event_type="item", ts_ms=T0 + 30 * DAY + 61 * MIN, item_id="E",
+        str_fields={"color": ["green"]})
+    rid = add(event_type="ranking", ts_ms=T0 + 30 * DAY + 120 * MIN,
+              user_id="u", session_id="u",
+              items=[{"id": "D", "relevancy": 1.0},
+                     {"id": "E", "relevancy": 1.0}])
+    add(event_type="interaction", ts_ms=T0 + 30 * DAY + 121 * MIN,
+        item_id="D", user_id="u", session_id="u", ranking_id=rid,
+        interaction_type="click")
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractedWith("iw", "click", fields=("color",), scope="user",
+                       count=5, duration_ms=2 * DAY),
+    ])
+    t0 = T0 + 30 * DAY
+    full = collect_matrix(training_matrix(df, eng).filter(f"ts_ms > {t0}"))
+    # pin the ordering contract itself, not just full==inc: D overlaps
+    # A's post-change blue, E overlaps B's green
+    by_item = {v["item_id"]: v["iw"] for v in full.values()}
+    assert by_item["D"] == [1.0] and by_item["E"] == [1.0]
+    snap = snapshot(df, t0, eng)
+    inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), eng)
+    assert_matrices_equal(full, collect_matrix(inc))
+
+
 def test_fingerprint_guards_config_drift(spark):
     """Folding or rolling a snapshot with a feature config that differs
     from the one it was built under must raise, not silently emit a wrong
@@ -507,14 +621,57 @@ def test_save_load_file_uri(spark, tmp_path):
     assert_matrices_equal(inc_a, inc_b)
 
 
-def test_unsupported_configs_raise(spark):
-    rows = gen_events(5, n_events=40)
+def test_incremental_equals_full_ttl_counters(spark):
+    """TTL'd lifetime counters take the O(delta+horizon) path: the offset
+    join is gated on replayed freshness (a stale key reads 0.0 in both
+    runs), and the retained last write — raw OR injected impression —
+    keeps replayed expiry decisions identical to the full stream's."""
+    rows = gen_events(31)
     df = events_df(spark, rows)
-    with pytest.raises(NotImplementedError, match="ttl"):
-        snapshot(df, T0 + 5 * DAY,
-                 FeatureEngine([InteractionCount("c", "click",
-                                                 ttl_ms=DAY)]))
-    with pytest.raises(NotImplementedError, match="field-scoped"):
-        snapshot(df, T0 + 5 * DAY,
-                 FeatureEngine([InteractionCount("c", "click",
-                                                 scope="item.kind")]))
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        InteractionCount("clickst", "click", ttl_ms=2 * DAY),
+        InteractionCount("uclickst", "click", scope="user", ttl_ms=3 * DAY),
+        InteractionCount("impst", "impression", ttl_ms=2 * DAY),
+        WindowCount("wc", "click", (1, 3), ttl_ms=5 * DAY),
+    ])
+    t0 = T0 + 30 * DAY
+    full = collect_matrix(training_matrix(df, eng).filter(f"ts_ms > {t0}"))
+    snap = snapshot(df, t0, eng)
+    inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), eng)
+    assert_matrices_equal(full, collect_matrix(inc))
+    # the property is only meaningful if expiry actually fires: somewhere
+    # a TTL'd counter reads 0 while its lifetime twin is positive, and
+    # some entity carries pre-cut history beyond the retained tail
+    assert any(v["clickst"] == 0.0 and v["clicks"] > 0 for v in full.values())
+    assert snap.offsets["clickst"].count() > 0
+
+
+def test_incremental_equals_full_field_scoped(spark):
+    """Field-scoped counters take the O(delta+horizon) path: selection
+    over derived entities + the as-of fix-up (every tail interaction's
+    field event pulled) + derived-entity offsets. gen_events rotates each
+    item's ``kind`` value over time, so historical re-keyings are real:
+    the same item's clicks land under different field values, and the
+    replay must re-derive each one identically."""
+    rows = enrich(gen_events(57), seed=57)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractionCount("fkc", "click", scope="item.kind"),
+        InteractionCount("fkct", "click", scope="item.kind",
+                         ttl_ms=3 * DAY),
+        WindowCount("fwc", "click", (1, 3), scope="item.kind"),
+        # bottom=impression exercises the injected field-scoped leg
+        Rate("fctr", "click", "impression", (2,), scope="item.kind"),
+        Rate("rkr", "click", "impression", (2,), scope="ranking.query"),
+        InteractionCount("clicks", "click"),
+    ])
+    t0 = T0 + 30 * DAY
+    full = collect_matrix(training_matrix(df, eng).filter(f"ts_ms > {t0}"))
+    snap = snapshot(df, t0, eng)
+    inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t0}"), eng)
+    assert_matrices_equal(full, collect_matrix(inc))
+    # the offsets are keyed by DERIVED entities (field values), and some
+    # pre-cut history actually lives beyond the tail
+    fkc_ents = {r["entity"] for r in snap.offsets["fkc"].collect()}
+    assert fkc_ents and fkc_ents <= {"a", "b", "c"}
