@@ -110,7 +110,17 @@ def stream_wire_events(spark: SparkSession, fmt: str,
     )
 
 
-def _make_counter_fn(refresh_ms: int):
+def _init_get(init, entity):
+    """Resolve a key's seed state from an init mapping that may be a
+    plain dict or a Spark ``Broadcast`` of one (the broadcast form ships
+    one copy per executor, not per task)."""
+    if init is None:
+        return None
+    m = init.value if hasattr(init, "value") else init
+    return m.get(entity)
+
+
+def _make_counter_fn(refresh_ms: int, init=None):
     def _counter_fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
@@ -120,8 +130,13 @@ def _make_counter_fn(refresh_ms: int):
         (FeatureValueFlow.scala:29-42). ``refresh_ms`` is the refresh gate
         (FeatureValueFlow.scala:64-80): suppress emissions until refresh
         elapsed since the last emitted ts for this key (0 = always emit,
-        the reference's test default)."""
-        total, last_emit = state.get if state.exists else (0, None)
+        the reference's test default). ``init`` seeds state for keys the
+        store has never seen — the batch-snapshot → streaming-resume
+        handoff (streaming/handoff.py)."""
+        if state.exists:
+            total, last_emit = state.get
+        else:
+            total, last_emit = _init_get(init, key[0]) or 0, None
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -151,16 +166,19 @@ def _make_counter_fn(refresh_ms: int):
 
 
 def streaming_interaction_count(
-    events: DataFrame, interaction: str, entity: str = "user_id", refresh_ms: int = 0
+    events: DataFrame, interaction: str, entity: str = "user_id",
+    refresh_ms: int = 0, init=None,
 ) -> DataFrame:
     """Per-event lifetime interaction count as an incrementally maintained
-    stream (vectorized Arrow state op, no per-row Python)."""
+    stream (vectorized Arrow state op, no per-row Python). ``init``: an
+    optional ``{entity: total}`` mapping (dict or Broadcast) seeding keys
+    the state store has never seen — see streaming/handoff.py."""
     writes = events.filter(
         (F.col("event_type") == "interaction")
         & (F.col("interaction_type") == interaction)
     ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
     return writes.groupBy("entity").applyInPandasWithState(
-        _make_counter_fn(refresh_ms),
+        _make_counter_fn(refresh_ms, init),
         outputStructType=COUNTER_OUT,
         stateStructType=COUNTER_STATE,
         outputMode="append",
@@ -296,9 +314,9 @@ SCALAR_OUT = T.StructType(
 SCALAR_STATE = T.StructType([T.StructField("last", T.DoubleType())])
 
 
-def _make_scalar_fn():
+def _make_scalar_fn(init=None):
     def fn(key, pdfs, state: GroupState):
-        last = state.get[0] if state.exists else None
+        last = state.get[0] if state.exists else _init_get(init, key[0])
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -319,15 +337,17 @@ def _make_scalar_fn():
     return fn
 
 
-def streaming_last_scalar(events: DataFrame, value, entity: str = "user_id") -> DataFrame:
+def streaming_last_scalar(events: DataFrame, value, entity: str = "user_id",
+                          init=None) -> DataFrame:
     """ScalarFeature streaming twin (MemScalarFeature.scala:14-17): carry
     the latest non-null ``value`` write to every event of the entity —
-    the incremental as-of read. State is one double per key."""
+    the incremental as-of read. State is one double per key. ``init``: an
+    optional ``{entity: last_value}`` seed mapping (streaming/handoff.py)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("w")
     )
     return src.groupBy("entity").applyInPandasWithState(
-        _make_scalar_fn(),
+        _make_scalar_fn(init),
         outputStructType=SCALAR_OUT,
         stateStructType=SCALAR_STATE,
         outputMode="append",

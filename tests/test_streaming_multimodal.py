@@ -457,3 +457,101 @@ def test_broker_format_wire_decode_smoke(spark):
     assert r7["ts_ms"] == 1_700_000_000_007
     assert r7["item_id"] == "p2" and r7["user_id"] == "u1"
     assert r7["str_fields"]["k"] == ["v1"]
+
+
+def test_streaming_resume_from_batch_snapshot(spark, tmp_path):
+    """Batch-snapshot → streaming-resume handoff (streaming/handoff.py):
+    seed the streaming counter and scalar state from an
+    IncrementalSnapshot built over batch history, stream only the delta,
+    and get outputs equal to a fold over FULL history restricted to the
+    delta. Also proves a checkpointed restart does NOT re-apply the seed
+    (live state wins over first-sight init)."""
+    from pyspark.sql import Window
+
+    from metarank_spark import operators as ops
+    from metarank_spark.engine import FeatureEngine, InteractionCount
+    from metarank_spark.operators.incremental import snapshot
+    from metarank_spark.streaming.handoff import (
+        broadcast_seed,
+        counter_seed_frame,
+        scalar_seed_frame,
+    )
+    from metarank_spark.streaming.pipeline import streaming_last_scalar
+
+    DAY = 86_400_000
+    rows, seq = [], 0
+    # history: per user, clicks spread over 30 days — far beyond the
+    # counter-only horizon, so the snapshot tail DROPS older clicks and
+    # the handoff genuinely needs the offsets (asserted below)
+    for u in range(4):
+        for k in range(u + 2):
+            seq += 1
+            rows.append(interaction_event(
+                "p1", "click", T0 + k * 3 * DAY + u, seq, user=f"u{u}",
+                num_fields={"price": float(10 * u + k)}))
+    t_cut = T0 + 29 * DAY
+    delta_rows = []
+    for u in range(5):  # u4 is snapshot-unseen: streams from zero
+        for k in range(2):
+            seq += 1
+            delta_rows.append(interaction_event(
+                "p1", "click", t_cut + (k + 1) * 1000 + u, seq,
+                user=f"u{u}", num_fields={"price": float(100 + 10 * u + k)}))
+    hist = events_df(spark, rows)
+    full = events_df(spark, rows + delta_rows)
+
+    eng = FeatureEngine([InteractionCount("uclicks", "click", scope="user")])
+    snap = snapshot(hist, t_cut, eng)
+    # the handoff is only meaningful if the tail really dropped history
+    assert snap.offsets["uclicks"].count() > 0
+
+    cnt_init = broadcast_seed(
+        spark, counter_seed_frame(snap, eng, "uclicks"), "total")
+    price = F.col("num_fields").getItem("price")
+    sc_init = broadcast_seed(
+        spark, scalar_seed_frame(snap, price, "user_id"), "last")
+
+    src = str(tmp_path / "delta_in")
+    os.makedirs(src)
+    events_df(spark, delta_rows[: len(delta_rows) // 2]).write.mode(
+        "append").parquet(src)
+
+    def run(tag):
+        got_c = _drive(spark, tmp_path, tag + "_c", streaming_interaction_count(
+            stream_events(spark, src), "click", entity="user_id",
+            init=cnt_init))
+        got_s = _drive(spark, tmp_path, tag + "_s", streaming_last_scalar(
+            stream_events(spark, src), price, entity="user_id",
+            init=sc_init))
+        return (
+            {(r["entity"], r["seq"]): r["value"] for r in got_c.collect()},
+            {(r["entity"], r["seq"]): r["value"] for r in got_s.collect()},
+        )
+
+    got_c, got_s = run("resume")
+    # restart with the same checkpoint after more delta lands: keys
+    # already in the store must continue from live state, not re-seed
+    events_df(spark, delta_rows[len(delta_rows) // 2:]).write.mode(
+        "append").parquet(src)
+    got_c, got_s = run("resume")
+
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_ms", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clicks = full.filter(F.col("interaction_type") == "click")
+    exp_c = {
+        (r["user_id"], r["seq"]): r["v"]
+        for r in clicks.select(
+            "user_id", "seq", "ts_ms", F.count(F.lit(1)).over(w).alias("v")
+        ).filter(F.col("ts_ms") > t_cut).collect()
+    }
+    assert got_c == exp_c
+    exp_s = {
+        (r["user_id"], r["seq"]): r["value"]
+        for r in ops.last_scalar(
+            clicks.withColumn("event_id", F.col("seq")), price, out="value"
+        ).filter(F.col("ts_ms") > t_cut).collect()
+    }
+    assert got_s.keys() == exp_s.keys()
+    assert all(abs(got_s[k] - exp_s[k]) < 1e-12 for k in exp_s)
