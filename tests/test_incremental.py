@@ -675,3 +675,51 @@ def test_incremental_equals_full_field_scoped(spark):
     # pre-cut history actually lives beyond the tail
     fkc_ents = {r["entity"] for r in snap.offsets["fkc"].collect()}
     assert fkc_ents and fkc_ents <= {"a", "b", "c"}
+
+
+def test_chained_daily_rolls(spark):
+    """Production is N consecutive daily rolls, not one: starting from
+    day 24, roll the snapshot forward one day at a time for 7 days. At
+    every cut the incremental matrix for that day's delta is bit-identical
+    to a from-scratch full replay; at the final cut the rolled snapshot's
+    tail and offsets EQUAL a fresh snapshot's (same retained seqs, same
+    entity-wise offsets) — so no growth or drift can accumulate across
+    rolls. The engine includes a TTL'd and a field-scoped counter, so the
+    round-5 lifted paths are exercised under rolling too."""
+    from metarank_spark.operators.incremental import roll_snapshot
+
+    rows = enrich(gen_events(23), seed=23)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([
+        InteractionCount("clicks", "click"),
+        InteractionCount("uclickst", "click", scope="user", ttl_ms=3 * DAY),
+        InteractionCount("fkc", "click", scope="item.kind"),
+        WindowCount("wc", "click", (1, 3)),
+        Rate("ctr", "click", "impression", (2,)),
+        Number("price", "price"),
+    ])
+    t = T0 + 24 * DAY
+    snap = snapshot(df, t, eng)
+    tail_sizes = [snap.tail.count()]
+    for _ in range(7):
+        t += DAY
+        # pass the FULL table: the ≤ t0 guard must drop already-folded
+        # rows, snapshot() itself ignores rows past the new cut
+        snap = roll_snapshot(snap, df, t, eng)
+        tail_sizes.append(snap.tail.count())
+        full = training_matrix(df, eng).filter(f"ts_ms > {t}")
+        inc = incremental_training_matrix(snap, df.filter(f"ts_ms > {t}"), eng)
+        assert_matrices_equal(collect_matrix(full), collect_matrix(inc))
+    fresh = snapshot(df, t, eng)
+    rolled_seqs = {r["seq"] for r in snap.tail.select("seq").collect()}
+    fresh_seqs = {r["seq"] for r in fresh.tail.select("seq").collect()}
+    assert rolled_seqs == fresh_seqs, (
+        f"tail drift after 7 rolls: +{len(rolled_seqs - fresh_seqs)} "
+        f"-{len(fresh_seqs - rolled_seqs)}")
+    for name in fresh.offsets:
+        r = {x["entity"]: x["offset"] for x in snap.offsets[name].collect()}
+        f = {x["entity"]: x["offset"] for x in fresh.offsets[name].collect()}
+        assert r == f, f"offset drift after 7 rolls for {name}"
+    # bounded across the chain: uniform traffic, so no roll's tail may
+    # outgrow the horizon-sized envelope the first cut established
+    assert max(tail_sizes) <= 2 * min(tail_sizes), tail_sizes
