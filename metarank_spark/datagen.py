@@ -131,3 +131,77 @@ def synthetic_ranklens(
     )
 
     return item_events.unionByName(ranking_events).unionByName(click_events)
+
+
+GENRES = ("drama", "comedy", "thriller", "action", "adventure", "romance",
+          "crime", "science fiction", "fantasy", "family", "horror")
+TAGS = ("time travel", "dystopia", "space", "heist", "noir", "war",
+        "sports", "music", "courtroom")
+
+
+def synthetic_movielens(
+    spark: SparkSession,
+    users: int,
+    items: int = 2000,
+    rankings_per_user: int = 2,
+    clicks_per_ranking: int = 2,
+    items_per_ranking: int = 12,
+    days: int = 30,
+) -> DataFrame:
+    """``synthetic_ranklens`` with movielens-shaped item metadata — every
+    field the reference's shipped RankLens config reads
+    (src/test/resources/ranklens/config.yml): numeric popularity/vote_avg/
+    vote_cnt/budget/release_date/runtime, multi-valued genres/tags/actors,
+    title/director, plus singular ``genre``/``tag`` heads so the config's
+    ``item.genre``/``item.tag`` field scopes bind. Same deterministic
+    hash-driven construction (cluster-size invariant)."""
+    base = synthetic_ranklens(
+        spark, users, items, rankings_per_user, clicks_per_ranking,
+        items_per_ranking, days)
+
+    def pick(pool, col, salt):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in pool]),
+            (F.pmod(_h(col, F.lit(salt)), len(pool)) + 1).cast("int"))
+
+    iid = F.col("item_id")
+    genre = pick(GENRES, iid, 1)
+    tag = pick(TAGS, iid, 2)
+    str_fields = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in
+                  ("title", "genres", "genre", "tags", "tag", "actors",
+                   "director")]),
+        F.array(
+            F.array(F.concat_ws(" ", pick(TAGS, iid, 3), genre,
+                                pick(GENRES, iid, 4))),
+            F.array_distinct(F.array(genre, pick(GENRES, iid, 5))),
+            F.array(genre),
+            F.array_distinct(F.array(tag, pick(TAGS, iid, 6))),
+            F.array(tag),
+            F.array(F.concat(F.lit("actor_"), F.pmod(_h(iid, F.lit(7)), F.lit(200))),
+                    F.concat(F.lit("actor_"), F.pmod(_h(iid, F.lit(8)), F.lit(200)))),
+            F.array(F.concat(F.lit("dir_"), F.pmod(_h(iid, F.lit(9)), F.lit(50)))),
+        ),
+    )
+    num_fields = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in
+                  ("popularity", "vote_avg", "vote_cnt", "budget",
+                   "release_date", "runtime")]),
+        F.array(
+            F.pmod(_h(iid, F.lit(10)), F.lit(1000)).cast("double"),
+            (F.pmod(_h(iid, F.lit(11)), F.lit(90)) / 10.0 + 1.0),
+            F.pmod(_h(iid, F.lit(12)), F.lit(10_000)).cast("double"),
+            (F.pmod(_h(iid, F.lit(13)), F.lit(200)) * 1e6).cast("double"),
+            (F.lit(1950) + F.pmod(_h(iid, F.lit(14)), F.lit(75))).cast("double"),
+            (F.lit(60) + F.pmod(_h(iid, F.lit(15)), F.lit(120))).cast("double"),
+        ),
+    )
+    return base.withColumn(
+        "str_fields",
+        F.when(F.col("event_type") == "item", str_fields)
+        .otherwise(F.col("str_fields")),
+    ).withColumn(
+        "num_fields",
+        F.when(F.col("event_type") == "item", num_fields)
+        .otherwise(F.col("num_fields")),
+    )

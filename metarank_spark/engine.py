@@ -28,6 +28,7 @@ scores 0.0 (InteractedWithFeature.scala:133-164 fold starts at 0.0).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -43,6 +44,10 @@ from metarank_spark.plans.asof import asof_join
 
 DAY_MS = 86_400_000
 GLOBAL_ENTITY = "$global"
+# default time-chunk for decomposing the $global timeline's folds (one
+# hour: bounds a chunk's rows at any realistic event rate while keeping
+# the chunk-totals carry frame small); deployments tune via hot_chunk_ms
+GLOBAL_CHUNK_MS = 3_600_000
 ORDER = ("ts_ms", "seq")
 SAMPLE_MOD = 1_000_003
 
@@ -436,23 +441,34 @@ class FeatureEngine:
 
     # ---------------- write-time series builders ----------------
 
-    def _split_hot(self, w: DataFrame, plain_fn, salted_fn) -> DataFrame:
+    def _split_hot(self, w: DataFrame, plain_fn, salted_fn,
+                   is_global: bool = False) -> DataFrame:
         """Route rows of the declared hot entities through the salted
         (chunk-partitioned, exactly-reassembled) fold and everything else
         through the plain per-entity window; with hot_chunk_ms but no
-        declared set, salt every entity. Bit-identical either way."""
+        declared set, salt every entity. Bit-identical either way.
+
+        ``is_global``: the frame is keyed by the ``$global`` entity — a
+        guaranteed hot key at ANY scale (the whole stream is one
+        timeline), and a CONSTANT partition key, which Catalyst
+        constant-folds into an unpartitioned single-task window. Global
+        frames therefore always take the salted fold, chunked by
+        ``hot_chunk_ms`` or ``GLOBAL_CHUNK_MS``."""
+        if is_global:
+            return salted_fn(w, self.hot_chunk_ms or GLOBAL_CHUNK_MS)
         if not self.hot_chunk_ms:
             return plain_fn(w)
         if not self.hot_entities:
-            return salted_fn(w)
+            return salted_fn(w, self.hot_chunk_ms)
         is_hot = F.coalesce(
             F.col("entity").isin(self.hot_entities), F.lit(False)
         )
         return plain_fn(w.filter(~is_hot)).unionByName(
-            salted_fn(w.filter(is_hot))
+            salted_fn(w.filter(is_hot), self.hot_chunk_ms)
         )
 
-    def _counter_fold(self, w: DataFrame) -> DataFrame:
+    def _counter_fold(self, w: DataFrame,
+                      is_global: bool = False) -> DataFrame:
         """Running count per entity over a (entity, ts_ms, seq) write
         frame (MemCounter.scala:13-22)."""
         from metarank_spark.operators.merge import SIDE_WRITE
@@ -471,14 +487,14 @@ class FeatureEngine:
                 F.count(F.lit(1)).over(run).alias("cnt"),
             )
 
-        def salted(df):
+        def salted(df, chunk_ms):
             from metarank_spark.plans.prefix import salted_running_count
 
             return salted_running_count(
-                df, "entity", ORDER, self.hot_chunk_ms
+                df, "entity", ORDER, chunk_ms
             ).select("entity", "ts_ms", "seq", "cnt")
 
-        return self._split_hot(w, plain, salted)
+        return self._split_hot(w, plain, salted, is_global)
 
     def _counter_series(self, events: DataFrame, interaction: str, scope: str) -> DataFrame:
         """CounterFeature write series: running count at each matching
@@ -487,7 +503,7 @@ class FeatureEngine:
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
         ).select(_entity_col(scope).alias("entity"), "ts_ms", "seq")
-        return self._counter_fold(w)
+        return self._counter_fold(w, is_global=(scope == "global"))
 
     @staticmethod
     def _monotone_period_counts(
@@ -558,7 +574,8 @@ class FeatureEngine:
         ])
 
     def _periodic_fold(
-        self, w: DataFrame, periods: tuple[int, ...], bucket_ms: int
+        self, w: DataFrame, periods: tuple[int, ...], bucket_ms: int,
+        is_global: bool = False,
     ) -> DataFrame:
         """Per-period bucket-window vector at each write of a (entity,
         ts_ms, seq[, vts_ms]) frame — buckets use the VALUE ts, order is
@@ -571,7 +588,7 @@ class FeatureEngine:
             bucket = F.floor(
                 F.coalesce(F.col("vts_ms"), F.col("ts_ms")) / F.lit(bucket_ms)
             )
-            if self.hot_chunk_ms:
+            if self.hot_chunk_ms or is_global:
                 from metarank_spark.plans.prefix import (
                     salted_anchored_period_counts,
                 )
@@ -584,13 +601,13 @@ class FeatureEngine:
                     )
                     return df.select("entity", "ts_ms", "seq", vec.alias("vec"))
 
-                def salted_a(df):
+                def salted_a(df, chunk_ms):
                     return salted_anchored_period_counts(
                         df, "entity", ORDER, bucket_ms, periods,
-                        self.hot_chunk_ms, bucket,
+                        chunk_ms, bucket,
                     ).select("entity", "ts_ms", "seq", "vec")
 
-                return self._split_hot(w, plain_a, salted_a)
+                return self._split_hot(w, plain_a, salted_a, is_global)
             vec = self._anchored_period_counts(
                 F.lit(True), F.lit(1), bucket, periods, "entity"
             )
@@ -602,7 +619,10 @@ class FeatureEngine:
                 vec = self._monotone_period_counts(F.lit(1), bucket, periods)
                 return df.select("entity", "ts_ms", "seq", vec.alias("vec"))
 
-            def salted(df):
+            def salted(df, chunk_ms):
+                # monotone streams decompose by BUCKET (the per-bucket
+                # partial agg absorbs the hot key map-side) — no time
+                # chunk needed
                 from metarank_spark.plans.prefix import (
                     salted_monotone_period_counts,
                 )
@@ -611,7 +631,7 @@ class FeatureEngine:
                     df, "entity", ORDER, bucket_ms, periods
                 ).select("entity", "ts_ms", "seq", "vec")
 
-            return self._split_hot(w, plain, salted)
+            return self._split_hot(w, plain, salted, is_global)
         # the shared window helpers order by (ts_ms, seq, __side); on a
         # writes-only frame the side marker is a constant
         w = w.withColumn("__side", F.lit(SIDE_WRITE))
@@ -630,7 +650,8 @@ class FeatureEngine:
             (F.col("event_type") == "interaction")
             & (F.col("interaction_type") == interaction)
         ).select(_entity_col(scope).alias("entity"), *cols)
-        return self._periodic_fold(w, periods, bucket_ms)
+        return self._periodic_fold(
+            w, periods, bucket_ms, is_global=(scope == "global"))
 
     # ---------------- field-scoped state (Scope.scala:43-52) ----------------
 
@@ -788,6 +809,45 @@ class FeatureEngine:
                 F.col("item_id").alias("entity"), "ts_ms", "seq",
                 F.col("str_fields").getItem(field).alias("vals"),
             )
+        )
+
+    def _multi_field_series(
+        self, events: DataFrame, fields: tuple[str, ...]
+    ) -> DataFrame:
+        """Fused per-item state series: ONE frame carrying the LAST
+        written value of every field at each metadata event (each field's
+        value carried forward over the item's event order), equivalent to
+        one ``_field_series`` per field read as-of the same seq — any
+        per-field write is itself a row here, so the as-of row's carried
+        value IS that field's last write before the read. One window over
+        the (metadata-scale) item frame replaces len(fields) independent
+        series → one as-of join instead of N on both the candidate and
+        the visited-items read paths."""
+        present = reduce(
+            lambda a, b: a | b,
+            [F.col("str_fields").getItem(f).isNotNull() for f in fields],
+        )
+        src = events.filter(
+            (F.col("event_type") == "item") & present
+        ).select(
+            "item_id", "ts_ms", "seq",
+            *[
+                F.col("str_fields").getItem(f).alias(f"__mf_{i}")
+                for i, f in enumerate(fields)
+            ],
+        )
+        w = (
+            Window.partitionBy("item_id")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return src.select(
+            "item_id", "ts_ms", "seq",
+            *[
+                F.last(F.col(f"__mf_{i}"), ignorenulls=True).over(w)
+                .alias(f"__mf_{i}")
+                for i in range(len(fields))
+            ],
         )
 
     # ---------------- snapshot assembly ----------------
@@ -2035,31 +2095,41 @@ class FeatureEngine:
         out = self._asof_to_base(base, rankings, visited_s, cfg.scope, ["visited"], f"_{cfg.name}")
         visited = F.coalesce(F.col(f"visited_{cfg.name}"), F.array().cast("array<string>"))
 
-        score_cols = []
-        for fld in cfg.fields:
-            fs = self._rename_series(self._field_series(events, fld), "item")
-            # candidate item's current field values (as-of the ranking)
-            out = self._asof_to_base(out, rankings, fs, "item", ["vals"], f"_{cfg.name}_{fld}_cand")
+        # ONE fused multi-field state series feeds both read paths — a
+        # multi-field profile (the reference ships 4) costs one as-of
+        # join per path, not len(fields)
+        mfs = self._multi_field_series(events, cfg.fields)
+        mf_cols = [f"__mf_{i}" for i in range(len(cfg.fields))]
 
-            # visited items' current field values → per-ranking flattened multiset
-            vis = out.select("ranking_id", "ts_ms", "seq", visited.alias("__visited")).dropDuplicates(
-                ["ranking_id"]
-            )
-            vis_ex = vis.select(
-                "ranking_id", "ts_ms", "seq", F.explode_outer("__visited").alias("item_id")
-            )
-            vis_j = asof_join(
-                vis_ex, fs, on="item_id",
-                left_seq="seq", right_seq="seq", values=["vals"],
-                strict=True, suffix="_vf",
-            )
-            vis_flat = vis_j.groupBy("ranking_id").agg(
-                F.flatten(F.collect_list(F.col("vals_vf"))).alias(f"__vflat_{fld}")
-            )
-            out = out.join(vis_flat, "ranking_id", "left")
-            vflat = F.coalesce(F.col(f"__vflat_{fld}"), F.array().cast("array<string>"))
+        # candidate items' current field values (as-of the ranking)
+        out = self._asof_to_base(out, rankings, mfs, "item", mf_cols,
+                                 f"_{cfg.name}c")
+
+        # visited items' current field values → per-ranking flattened
+        # multisets, all fields in one explode + as-of + agg
+        vis = out.select(
+            "ranking_id", "ts_ms", "seq", visited.alias("__visited")
+        ).dropDuplicates(["ranking_id"])
+        vis_ex = vis.select(
+            "ranking_id", "ts_ms", "seq", F.explode_outer("__visited").alias("item_id")
+        )
+        vis_j = asof_join(
+            vis_ex, mfs, on="item_id",
+            left_seq="seq", right_seq="seq", values=mf_cols,
+            strict=True, suffix="_vf",
+        )
+        vis_flat = vis_j.groupBy("ranking_id").agg(*[
+            F.flatten(F.collect_list(F.col(f"__mf_{i}_vf"))).alias(f"__vflat_{i}")
+            for i in range(len(cfg.fields))
+        ])
+        out = out.join(vis_flat, "ranking_id", "left")
+
+        score_cols = []
+        for i in range(len(cfg.fields)):
+            vflat = F.coalesce(
+                F.col(f"__vflat_{i}"), F.array().cast("array<string>"))
             cand = F.coalesce(
-                F.col(f"vals_{cfg.name}_{fld}_cand"), F.array().cast("array<string>")
+                F.col(f"__mf_{i}_{cfg.name}c"), F.array().cast("array<string>")
             )
             # score: Σ over candidate's values of multiset count among visited
             # (InteractedWithFeature.scala:133-164)
@@ -2068,9 +2138,9 @@ class FeatureEngine:
                 F.lit(0.0),
                 lambda acc, v: acc + F.size(F.filter(vflat, lambda x: x == v)),
             )
-            out = out.withColumn(f"__score_{cfg.name}_{fld}", score)
-            score_cols.append(f"__score_{cfg.name}_{fld}")
-            out = out.drop(f"vals_{cfg.name}_{fld}_cand", f"__vflat_{fld}")
+            out = out.withColumn(f"__score_{cfg.name}_{i}", score)
+            score_cols.append(f"__score_{cfg.name}_{i}")
+            out = out.drop(f"__mf_{i}_{cfg.name}c", f"__vflat_{i}")
 
         out = out.withColumn(cfg.name, F.array(*[F.col(c) for c in score_cols]))
         return out.drop(f"visited_{cfg.name}", *score_cols)

@@ -102,13 +102,98 @@ def run_level(spark, days: int) -> dict:
     }
 
 
+ROLL_SECTION = "## Incremental backfill: rolled daily loop"
+
+
+def run_rolls(spark, days: int, n_rolls: int) -> list[dict]:
+    """The production loop at bench scale: starting from a snapshot at
+    day (days - n_rolls), advance one day at a time — roll + delta fold —
+    and record per-day wall + tail size. History is never rescanned after
+    the first snapshot; tail size must stay flat (the chained-roll
+    property test proves bit-identity, this measures cost)."""
+    from metarank_spark.operators.incremental import roll_snapshot
+
+    path = f"/tmp/incr_bench_{days}d.parquet"
+    if not os.path.exists(path):
+        ev = synthetic_ranklens(spark, users=USERS_PER_DAY * days, days=days)
+        ev.repartition(64).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    t_max = ev.agg(F.max("ts_ms")).collect()[0][0]
+    eng = engine()
+    t0_ms = t_max - (n_rolls + 1) * DAY_MS
+    t_start = time.perf_counter()
+    snap = snapshot(ev, t0_ms, eng)
+    # production persists each snapshot; the parquet round-trip is also
+    # the lineage barrier that keeps roll plans constant-size
+    sp = f"/tmp/incr_bench_{days}d_roll_snap"
+    from metarank_spark.operators.incremental import (
+        load_snapshot,
+        save_snapshot,
+    )
+    save_snapshot(snap, sp)
+    t_init = time.perf_counter() - t_start
+    out = [{"day": 0, "roll_sec": round(t_init, 2), "fold_sec": None,
+            "tail_rows": snap.tail.count(), "delta_matrix_rows": None}]
+    for i in range(1, n_rolls + 1):
+        # canonical daily loop: fold TODAY's one-day delta at the current
+        # cut, then roll the snapshot past it
+        snap = load_snapshot(spark, sp)
+        t1 = snap.t0_ms + DAY_MS
+        day_delta = ev.filter(
+            (F.col("ts_ms") > snap.t0_ms) & (F.col("ts_ms") <= t1))
+        t0 = time.perf_counter()
+        inc = incremental_training_matrix(snap, day_delta, eng)
+        inc.write.format("noop").mode("overwrite").save()
+        t_fold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        new = roll_snapshot(snap, day_delta, t1, eng)
+        save_snapshot(new, sp)
+        t_roll = time.perf_counter() - t0
+        out.append({
+            "day": i, "roll_sec": round(t_roll, 2),
+            "fold_sec": round(t_fold, 2),
+            "tail_rows": new.tail.count(),
+            "delta_matrix_rows": inc.count(),
+        })
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, nargs="+", default=[30, 60, 120])
+    ap.add_argument("--rolls", type=int, default=0,
+                    help="run the rolled daily loop for N days instead "
+                         "of the history ladder")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
     spark = get_spark("incremental-bench", parallelism=16,
                       shuffle_partitions=64)
+    if args.rolls:
+        days = args.days[0]
+        rolls = run_rolls(spark, days, args.rolls)
+        print(json.dumps(rolls))
+        rows = "\n".join(
+            f"| {m['day']} | {m['roll_sec']} | {m['fold_sec'] or '—'} | "
+            f"{m['tail_rows']:,} | {m['delta_matrix_rows'] or '—'} |"
+            for m in rolls
+        )
+        block = f"""{ROLL_SECTION}
+
+The production daily loop at bench scale (scripts/incremental_bench.py
+--rolls: {days}-day corpus, {USERS_PER_DAY:,} users/day; day 0 = initial
+snapshot build, then one roll + one delta fold per day, snapshot
+persisted/reloaded through parquet each step — full history is never
+rescanned after day 0). Flat roll cost and flat tail size are the
+claims; bit-identity of every fold is the chained-roll property test
+(tests/test_incremental.py::test_chained_daily_rolls).
+
+| day | roll s | delta fold s | tail rows | delta matrix rows |
+|---|---|---|---|---|
+{rows}
+"""
+        _replace_section(args.out, ROLL_SECTION, block)
+        return 0
     levels = [run_level(spark, d) for d in args.days]
     print(json.dumps(levels))
 
@@ -140,18 +225,22 @@ history leaves the fold cost flat while full replay grows linearly. The
 snapshot build is the amortized once-per-checkpoint cost (it replaces
 the previous day's full replay, not an extra pass).
 """
-    text = open(args.out).read() if os.path.exists(args.out) else ""
-    if SECTION in text:
-        head = text[: text.index(SECTION)]
-        rest = text[text.index(SECTION):]
+    _replace_section(args.out, SECTION, block)
+    return 0
+
+
+def _replace_section(out: str, section: str, block: str) -> None:
+    text = open(out).read() if os.path.exists(out) else ""
+    if section in text:
+        head = text[: text.index(section)]
+        rest = text[text.index(section):]
         nxt = rest.find("\n## ", 1)
         tail = rest[nxt + 1:] if nxt != -1 else ""
         text = head + block + "\n" + tail
     else:
         text = text.rstrip() + "\n\n" + block
-    with open(args.out, "w") as fh:
+    with open(out, "w") as fh:
         fh.write(text)
-    return 0
 
 
 if __name__ == "__main__":
