@@ -1220,6 +1220,119 @@ class FeatureEngine:
 
         return wc, wrapped
 
+    def _pool_payload(self, w, scope, cfg, pname, sname) -> DataFrame:
+        """Trailing-K pool payload (Stats percentile vector / Freq share
+        map / RecentItems list) on the writes frame.
+
+        Per-entity sliding window normally; for the ``$global`` scope —
+        a constant partition key, i.e. a guaranteed single-task window —
+        and for salted hot entities, the banded trailing-rows join
+        (plans/prefix.banded_trailing_rows): a bounded ROWS frame does
+        not help distribution, because the PARTITION holds the hot key's
+        whole timeline regardless of the frame. Bit-identical for
+        streams with a total (ts_ms, seq) order per entity
+        (tests/test_engine_salted.py pool property tests); rows tied on
+        both keys get an arbitrary order in EITHER mode, exactly like
+        the window form."""
+        sample = F.col(sname)
+        has_vts = "__vts" in w.columns
+        vts = (F.coalesce(F.col("__vts"), F.col("ts_ms"))
+               if has_vts else F.col("ts_ms"))
+        k = cfg.count if isinstance(cfg, RecentItems) else cfg.pool
+        probs = (
+            F.array(*[F.lit(p / 100.0) for p in cfg.percentiles])
+            if isinstance(cfg, Stats) else None
+        )
+
+        def freq_map(pool):
+            total = F.size(pool)
+            return F.map_from_entries(F.transform(
+                F.array_distinct(pool),
+                lambda v: F.struct(
+                    v.alias("key"),
+                    (F.size(F.filter(pool, lambda x: x == v))
+                     / total.cast("double")).alias("value"),
+                ),
+            ))
+
+        def recent_list(lst):
+            # newest first; stored/compared timestamps are the event's
+            # VALUE ts (Write.timestamp); append order is commit order
+            cutoff = vts - F.lit(cfg.duration_ms)
+            return F.transform(
+                F.filter(lst, lambda x: x["ts"] >= cutoff), lambda x: x["v"]
+            )
+
+        def window_mode(df):
+            poolw = (
+                Window.partitionBy("entity")
+                .orderBy("ts_ms", "seq")
+                .rowsBetween(-(k - 1), Window.currentRow)
+            )
+            if isinstance(cfg, Stats):
+                percs = F.percentile(sample, probs).over(poolw)
+                expr = F.array(
+                    F.min(sample).over(poolw), F.max(sample).over(poolw),
+                    *[F.get(percs, i) for i in range(len(cfg.percentiles))],
+                )
+            elif isinstance(cfg, Freq):
+                expr = freq_map(F.collect_list(sample).over(poolw))
+            else:
+                expr = recent_list(F.reverse(F.collect_list(
+                    F.struct(vts.alias("ts"), sample.alias("v"))
+                ).over(poolw)))
+            return df.withColumn(pname, expr)
+
+        def banded_mode(df, chunk_ms):
+            from metarank_spark.plans.prefix import banded_trailing_rows
+
+            pay = [sname, "ts_ms"] + (["__vts"] if has_vts else [])
+            j = banded_trailing_rows(
+                df, "entity", ("ts_ms", "seq"), k, chunk_ms, pay)
+            ws = F.col(f"__w_{sname}")
+            wvts = (
+                F.coalesce(F.col("__w___vts"), F.col("__w_ts_ms"))
+                if has_vts else F.col("__w_ts_ms")
+            )
+            others = [c for c in df.columns if c != "entity"]
+            firsts = [F.first(F.col(c)).alias(c) for c in others]
+            if isinstance(cfg, Stats):
+                percs = F.percentile(ws, probs)
+                agg = F.array(
+                    F.min(ws), F.max(ws),
+                    *[F.get(percs, i) for i in range(len(cfg.percentiles))],
+                ).alias(pname)
+                out = j.groupBy("entity", "__rn").agg(*firsts, agg)
+            elif isinstance(cfg, Freq):
+                agg = freq_map(F.collect_list(ws)).alias(pname)
+                out = j.groupBy("entity", "__rn").agg(*firsts, agg)
+            else:
+                # collect (rn, ts, v), order newest-first by the global
+                # ordinal, then the same value-ts eviction filter
+                arr = F.sort_array(F.collect_list(F.struct(
+                    F.col("__w_rn").alias("rn"), wvts.alias("ts"),
+                    ws.alias("v"))), asc=False).alias("__pool")
+                out = j.groupBy("entity", "__rn").agg(*firsts, arr)
+                out = out.withColumn(
+                    pname,
+                    recent_list(F.transform(
+                        F.col("__pool"),
+                        lambda x: F.struct(x["ts"].alias("ts"),
+                                           x["v"].alias("v")))),
+                ).drop("__pool")
+            return out.drop("__rn")
+
+        if scope == "global":
+            return banded_mode(w, self.hot_chunk_ms or GLOBAL_CHUNK_MS)
+        if not self.hot_chunk_ms:
+            return window_mode(w)
+        if not self.hot_entities:
+            return banded_mode(w, self.hot_chunk_ms)
+        is_hot = F.coalesce(
+            F.col("entity").isin(self.hot_entities), F.lit(False))
+        return window_mode(w.filter(~is_hot)).unionByName(
+            banded_mode(w.filter(is_hot), self.hot_chunk_ms))
+
     def _compile_scope_group(self, events, scope_key, cfgs):
         """Compile one scope group to (writes_df, MergedFeature list):
         write predicates, payload columns, write-side window exprs, and
@@ -1228,6 +1341,7 @@ class FeatureEngine:
         ent_write = _entity_col(scope)
 
         preds, payloads, feats = [], {}, []
+        pool_specs: list[tuple] = []
         has_late = getattr(self, "_has_late", False)
         if has_late:
             # the VALUE timestamp rides along as a payload so bucket exprs
@@ -1382,51 +1496,23 @@ class FeatureEngine:
                         pred = pred & sample_accept_expr(rate)
                     preds.append(pred)
                 pname = f"__p_{cfg.name}"
-                if isinstance(cfg, (Stats, Freq)):
-                    poolw = (
-                        Window.partitionBy(ent_write)
-                        .orderBy("ts_ms", "seq")
-                        .rowsBetween(-(cfg.pool - 1), Window.currentRow)
-                    )
+                sname = f"__ps_{cfg.name}"
+                # raw sample only; the trailing-K pool payload itself is
+                # computed on the WRITES frame after it is built
+                # (_pool_payload): per-entity sliding window normally,
+                # the banded trailing-rows join for $global / salted hot
+                # entities — a bounded ROWS frame still pins a hot key's
+                # whole timeline to one task (the PARTITION skews, not
+                # the frame)
+                payloads[sname] = sample
+                pool_specs.append((cfg, pname, sname))
                 if isinstance(cfg, Stats):
-                    percs = F.percentile(
-                        sample, F.array(*[F.lit(p / 100.0) for p in cfg.percentiles])
-                    ).over(poolw)
-                    payloads[pname] = F.array(
-                        F.min(sample).over(poolw), F.max(sample).over(poolw),
-                        *[F.get(percs, i) for i in range(len(cfg.percentiles))],
-                    )
                     dim = 2 + len(cfg.percentiles)
                     fin = lambda c, n=f"{cfg.name}__v", d=dim: F.when(
                         c[n].isNull(), _nan_array(d)).otherwise(c[n])
                 elif isinstance(cfg, Freq):
-                    pool = F.collect_list(sample).over(poolw)
-                    total = F.size(pool)
-                    payloads[pname] = F.map_from_entries(F.transform(
-                        F.array_distinct(pool),
-                        lambda v: F.struct(
-                            v.alias("key"),
-                            (F.size(F.filter(pool, lambda x: x == v))
-                             / total.cast("double")).alias("value"),
-                        ),
-                    ))
                     fin = lambda c, n=f"{cfg.name}__v": c[n]
-                else:  # RecentItems: evict-on-write list, newest first
-                    frame = (
-                        Window.partitionBy(ent_write)
-                        .orderBy("ts_ms", "seq")
-                        .rowsBetween(-(cfg.count - 1), Window.currentRow)
-                    )
-                    # stored/compared timestamps are the event's VALUE ts
-                    # (Write.timestamp); the append order is commit order
-                    vts = F.coalesce(F.col("vts_ms"), F.col("ts_ms"))
-                    lst = F.reverse(F.collect_list(
-                        F.struct(vts.alias("ts"), sample.alias("v"))
-                    ).over(frame))
-                    cutoff = vts - F.lit(cfg.duration_ms)
-                    payloads[pname] = F.transform(
-                        F.filter(lst, lambda x: x["ts"] >= cutoff), lambda x: x["v"]
-                    )
+                else:  # RecentItems
                     fin = lambda c, n=f"{cfg.name}__v": F.coalesce(
                         c[n], F.array().cast("array<string>"))
                 wc = {f"{cfg.name}__v": F.col(pname)}
@@ -1627,6 +1713,9 @@ class FeatureEngine:
             ent_write.alias("entity"), "ts_ms", "seq",
             *[expr.alias(n) for n, expr in payloads.items()],
         ).filter(F.col("entity").isNotNull())
+        scope = scope_key.split("::")[0]
+        for cfg_p, pn, sn in pool_specs:
+            writes = self._pool_payload(writes, scope, cfg_p, pn, sn)
         return writes, feats
 
     # dispatch

@@ -987,11 +987,27 @@ def save_snapshot(snap: IncrementalSnapshot, path: str) -> None:
     """Persist to a directory: tail + offsets as parquet, meta as JSON.
     The descriptor goes through the Hadoop FS API (same as the export
     job's dataset.json) so ``path`` works on any supported filesystem —
-    hdfs://, s3a://, file: — not just the driver's local disk."""
-    snap.tail.write.mode("overwrite").parquet(os.path.join(path, "tail"))
+    hdfs://, s3a://, file: — not just the driver's local disk.
+
+    Writes go to a temp sibling first and swap in at the end: the daily
+    roll loop saves the NEW snapshot whose offsets/tail still lazily
+    READ the previous snapshot at this same path (roll_snapshot only
+    checkpoints the tail) — overwriting in place would delete the
+    parquet files mid-scan (FAILED_READ_FILE). The swap also means a
+    crashed save leaves the previous snapshot intact."""
+    spark = snap.tail.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    fs = final.getFileSystem(hconf)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f".__tmp_{snap.t0_ms}")
+    fs.delete(tmp, True)
+    tmp_s = tmp.toString()
+    snap.tail.write.mode("overwrite").parquet(os.path.join(tmp_s, "tail"))
     for name, off in snap.offsets.items():
         off.write.mode("overwrite").parquet(
-            os.path.join(path, "offsets", name))
+            os.path.join(tmp_s, "offsets", name))
     meta = {
         "t0_ms": snap.t0_ms,
         "horizon_ms": snap.horizon_ms,
@@ -999,15 +1015,15 @@ def save_snapshot(snap: IncrementalSnapshot, path: str) -> None:
         "commit_at_expiry": snap.commit_at_expiry,
         "fingerprint": snap.fingerprint,
     }
-    spark = snap.tail.sparkSession
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "snapshot.json"))
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(tmp_s, "snapshot.json"))
     stream = fs.create(jpath, True)
     try:
         stream.write(bytearray(json.dumps(meta, indent=2).encode("utf-8")))
     finally:
         stream.close()
+    fs.delete(final, True)
+    if not fs.rename(tmp, final):
+        raise IOError(f"save_snapshot: rename {tmp_s} -> {path} failed")
 
 
 def load_snapshot(spark: SparkSession, path: str) -> IncrementalSnapshot:

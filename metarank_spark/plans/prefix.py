@@ -411,3 +411,81 @@ def salted_anchored_period_counts(
         + [f"__c___base_{p}" for p in periods]
     )
     return carried.withColumn(out, vec).drop(*drop)
+
+
+def chunked_ordinal(
+    df: DataFrame,
+    entity: str,
+    order: tuple[str, ...],
+    chunk_ms: int,
+    out: str = "__rn",
+) -> DataFrame:
+    """Global 1-based per-entity ordinal in ``order``, computed with
+    (entity, time-chunk) partitions: within-chunk row_number + the
+    running count of strictly-earlier chunks (a chunk-cardinality frame)
+    — the skew-safe equivalent of ``row_number() OVER (PARTITION BY
+    entity ORDER BY order)`` for hot/constant keys. Ties in ``order``
+    get an arbitrary-but-single-pass-consistent rank, exactly like the
+    window form."""
+    ts = order[0]
+    staged = df.withColumn("__salt", F.floor(F.col(ts) / F.lit(chunk_ms)))
+    counts = staged.groupBy(entity, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(entity)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        entity, "__salt",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(entity, "__salt").orderBy(*order)
+    return (
+        staged.join(offs, [entity, "__salt"], "left")
+        .withColumn(out, F.col("__off") + F.row_number().over(w_in))
+        .drop("__salt", "__off")
+    )
+
+
+def banded_trailing_rows(
+    df: DataFrame,
+    entity: str,
+    order: tuple[str, ...],
+    k: int,
+    chunk_ms: int,
+    payload: list[str],
+) -> DataFrame:
+    """Pair every row (reader) with its trailing ``k`` rows (itself
+    included) in per-entity ``order`` — the distributed equivalent of a
+    ``rowsBetween(-(k-1), currentRow)`` window partitioned by a
+    hot/constant entity, where a bare-key window would pin the whole
+    timeline to one task.
+
+    Shape: global ordinal rn (chunked_ordinal) → band blocks of size k
+    (reader block floor((rn-1)/k); each writer published to its block
+    and the next) → equi-join on (entity, block) + range filter
+    ``wrn ∈ (rn-k, rn]``. Each reader matches ≤ 2k candidates filtered
+    to ≤ k, partitions are block-sized, and no task ever holds more
+    than ~2k² rows of one band. Returns reader rows (all original
+    columns + ``__rn``) joined with writer payload columns renamed
+    ``__w_<name>`` plus ``__w_rn`` — ready for
+    ``groupBy(entity, "__rn")``."""
+    r = chunked_ordinal(df, entity, order, chunk_ms)
+    blk = lambda rn: F.floor((rn - 1) / F.lit(k))  # noqa: E731
+    readers = r.withColumn("__blk", blk(F.col("__rn")))
+    writers = r.select(
+        F.col(entity).alias("__w_ent"),
+        F.col("__rn").alias("__w_rn"),
+        *[F.col(p).alias(f"__w_{p}") for p in payload],
+    ).withColumn(
+        "__w_blk",
+        F.explode(F.array(blk(F.col("__w_rn")), blk(F.col("__w_rn")) + 1)),
+    )
+    return readers.join(
+        writers,
+        (F.col(entity) == F.col("__w_ent"))
+        & (F.col("__blk") == F.col("__w_blk"))
+        & (F.col("__w_rn") <= F.col("__rn"))
+        & (F.col("__w_rn") > F.col("__rn") - k),
+    ).drop("__blk", "__w_blk", "__w_ent")

@@ -145,15 +145,18 @@ def run_rolls(spark, days: int, n_rolls: int) -> list[dict]:
         inc = incremental_training_matrix(snap, day_delta, eng)
         inc.write.format("noop").mode("overwrite").save()
         t_fold = time.perf_counter() - t0
+        inc_rows = inc.count()  # before the save swaps inc's source files
         t0 = time.perf_counter()
         new = roll_snapshot(snap, day_delta, t1, eng)
         save_snapshot(new, sp)
         t_roll = time.perf_counter() - t0
+        # save_snapshot swapped the directory out from under `new`'s lazy
+        # lineage — read sizes from the persisted copy
         out.append({
             "day": i, "roll_sec": round(t_roll, 2),
             "fold_sec": round(t_fold, 2),
-            "tail_rows": new.tail.count(),
-            "delta_matrix_rows": inc.count(),
+            "tail_rows": load_snapshot(spark, sp).tail.count(),
+            "delta_matrix_rows": inc_rows,
         })
         print(json.dumps(out[-1]), flush=True)
     return out

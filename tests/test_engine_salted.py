@@ -143,3 +143,66 @@ def test_salted_late_writes_identical(spark):
         ).ranking_values(ev)
     )
     assert got_split == plain
+
+
+def test_global_scope_pools_banded_exact(spark):
+    """$global-scoped pool features always take the banded trailing-rows
+    join (a constant partition key would single-task the whole stream);
+    exactness is checked against a Python fold of the same ordered
+    stream: at each ranking, the pool is the last K samples strictly
+    before it, globally across entities."""
+    rows = gen_events(17, n_events=220)
+    ev = events_df(spark, rows)
+    feats = [
+        Freq("gfr", "kind", pool=5, scope="global"),
+        Stats("gst", "price", pool=5, percentiles=(50,), scope="global"),
+    ]
+    out = FeatureEngine(feats).ranking_values(ev)
+    got = {
+        (r["ranking_id"], r["position"]): (r["gfr"], r["gst"])
+        for r in out.collect()
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__w_rn" in plan  # banded join, not a bare window
+
+    # python oracle over the (ts, seq)-ordered stream
+    evs = sorted(rows, key=lambda r: (r["ts_ms"], r["seq"]))
+    kinds, prices = [], []
+    reads = {}
+    for r in evs:
+        if r["event_type"] == "ranking":
+            reads[r["event_id"]] = (list(kinds[-5:]), list(prices[-5:]))
+        if r["event_type"] == "interaction":
+            k = (r.get("str_fields") or {}).get("kind")
+            if k:
+                kinds.append(k[0])
+            p = (r.get("num_fields") or {}).get("price")
+            if p is not None:
+                prices.append(p)
+    import statistics
+
+    for (rid, _pos), (gfr, gst) in got.items():
+        ks, ps = reads[rid]
+        if not ks:
+            assert gfr is None or gfr == {}
+        else:
+            exp = {v: ks.count(v) / len(ks) for v in set(ks)}
+            assert gfr.keys() == exp.keys()
+            assert all(abs(gfr[v] - exp[v]) < 1e-12 for v in exp)
+        if not ps:
+            assert all(math.isnan(x) for x in gst)
+        else:
+            med = statistics.median(sorted(ps)) if len(ps) % 2 else None
+            lo, hi, p50 = min(ps), max(ps), _percentile50(ps)
+            assert abs(gst[0] - lo) < 1e-9 and abs(gst[1] - hi) < 1e-9
+            assert abs(gst[2] - p50) < 1e-9
+
+
+def _percentile50(ps):
+    """Spark percentile(0.5): linear interpolation between closest
+    ranks."""
+    s = sorted(ps)
+    idx = 0.5 * (len(s) - 1)
+    lo = int(idx)
+    frac = idx - lo
+    return s[lo] if frac == 0 else s[lo] + (s[lo + 1] - s[lo]) * frac

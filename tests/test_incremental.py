@@ -723,3 +723,26 @@ def test_chained_daily_rolls(spark):
     # bounded across the chain: uniform traffic, so no roll's tail may
     # outgrow the horizon-sized envelope the first cut established
     assert max(tail_sizes) <= 2 * min(tail_sizes), tail_sizes
+
+
+def test_roll_save_in_place(spark, tmp_path):
+    """The daily production loop saves the rolled snapshot OVER the path
+    it was loaded from while the rolled offsets still lazily READ that
+    path (roll_snapshot checkpoints only the tail) — save_snapshot must
+    stage to a temp sibling and swap, not overwrite mid-scan
+    (FAILED_READ_FILE regression, caught by the rolled-loop bench)."""
+    from metarank_spark.operators.incremental import roll_snapshot
+
+    rows = gen_events(11, n_events=120)
+    df = events_df(spark, rows)
+    eng = FeatureEngine([InteractionCount("clicks", "click")])
+    sp = str(tmp_path / "snap")
+    save_snapshot(snapshot(df, T0 + 20 * DAY, eng), sp)
+    s = load_snapshot(spark, sp)
+    t1 = T0 + 21 * DAY
+    new = roll_snapshot(s, df.filter(f"ts_ms > {s.t0_ms}"), t1, eng)
+    save_snapshot(new, sp)  # in-place: deleted the files it reads before
+    s2 = load_snapshot(spark, sp)
+    full = training_matrix(df, eng).filter(f"ts_ms > {t1}")
+    inc = incremental_training_matrix(s2, df.filter(f"ts_ms > {t1}"), eng)
+    assert_matrices_equal(collect_matrix(full), collect_matrix(inc))
