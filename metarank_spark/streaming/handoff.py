@@ -95,11 +95,59 @@ def scalar_seed_frame(
     )
 
 
-def broadcast_seed(spark: SparkSession, seed: DataFrame, value_col: str):
+def wcount_seed_frame(
+    snap: IncrementalSnapshot, engine, name: str
+) -> DataFrame:
+    """``(entity, buckets, counts)`` at the cut for a ``WindowCount``
+    feature: per-bucket write counts within max(periods) of the entity's
+    LAST bucket — exactly the streaming op's bucket-map state
+    (pipeline.WCOUNT_STATE), and exactly the writes the snapshot's
+    window-context retention keeps, so no offset is needed: evicted
+    buckets can never re-enter a window."""
+    from metarank_spark.engine import WindowCount
+
+    cfg = _feature_by_name(engine, name)
+    if not isinstance(cfg, WindowCount):
+        raise ValueError(f"{name} is not a WindowCount feature")
+    if _parse_field_scope(cfg.scope) or cfg.ttl_ms or \
+            cfg.interaction == "impression":
+        raise NotImplementedError(
+            "streaming handoff v1 covers plain-scoped, un-TTL'd, "
+            "non-impression window counts"
+        )
+    w = (
+        snap.tail.filter(
+            (F.col("event_type") == "interaction")
+            & (F.col("interaction_type") == cfg.interaction)
+            & (F.col("ts_ms") <= snap.t0_ms)
+        )
+        .withColumn("entity", _entity_col(cfg.scope))
+        .withColumn("bucket", F.floor(F.col("ts_ms") / F.lit(cfg.bucket_ms)))
+    )
+    per = w.groupBy("entity", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    last = per.groupBy("entity").agg(F.max("bucket").alias("__last"))
+    kept = per.join(last, "entity").filter(
+        F.col("bucket") >= F.col("__last") - F.lit(max(cfg.periods)))
+    return kept.groupBy("entity").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "n"))).alias("__bn")
+    ).select(
+        "entity",
+        F.transform(F.col("__bn"), lambda x: x["bucket"]).alias("buckets"),
+        F.transform(F.col("__bn"), lambda x: x["n"]).alias("counts"),
+    )
+
+
+def broadcast_seed(spark: SparkSession, seed: DataFrame, value_col):
     """Collect a seed frame into a ``Broadcast[{entity: value}]`` for the
-    state fns' first-sight lookup. The frame is entity-cardinality sized
-    (counters/scalars keep O(1) state per key); beyond driver memory,
-    hand the frame to the initial-state API instead (module docstring)."""
-    m = {r["entity"]: r[value_col] for r in seed.collect()
-         if r["entity"] is not None}
+    state fns' first-sight lookup; ``value_col`` may be a list of columns
+    (the value becomes a tuple, e.g. a window count's (buckets, counts)).
+    The frame is entity-cardinality sized (these primitives keep O(1)
+    state per key); beyond driver memory, hand the frame to the
+    initial-state API instead (module docstring)."""
+    if isinstance(value_col, (list, tuple)):
+        m = {r["entity"]: tuple(r[c] for c in value_col)
+             for r in seed.collect() if r["entity"] is not None}
+    else:
+        m = {r["entity"]: r[value_col] for r in seed.collect()
+             if r["entity"] is not None}
     return spark.sparkContext.broadcast(m)

@@ -204,7 +204,7 @@ WCOUNT_STATE = T.StructType(
 )
 
 
-def _make_wcount_fn(periods: tuple[int, ...], bucket_ms: int):
+def _make_wcount_fn(periods: tuple[int, ...], bucket_ms: int, init=None):
     max_p = max(periods)
 
     def fn(key, pdfs, state: GroupState):
@@ -212,7 +212,8 @@ def _make_wcount_fn(periods: tuple[int, ...], bucket_ms: int):
             buckets, counts = state.get
             m = dict(zip(buckets, counts))
         else:
-            m = {}
+            seed = _init_get(init, key[0])  # (buckets, counts) or None
+            m = dict(zip(seed[0], seed[1])) if seed else {}
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -246,17 +247,20 @@ def streaming_window_count(
     periods: tuple[int, ...] = (7,),
     bucket_ms: int = 86_400_000,
     entity: str = "item_id",
+    init=None,
 ) -> DataFrame:
     """PeriodicCounter as an incrementally maintained stream: at each
     matching interaction emit the anchor-at-last-bucket window vector
     (model/Feature.scala:142-161 semantics). State is the bucket map,
-    evicted past max(periods) — O(max_period) longs per key."""
+    evicted past max(periods) — O(max_period) longs per key. ``init``:
+    optional ``{entity: (buckets, counts)}`` seed mapping
+    (streaming/handoff.py wcount_seed_frame)."""
     writes = events.filter(
         (F.col("event_type") == "interaction")
         & (F.col("interaction_type") == interaction)
     ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
     return writes.groupBy("entity").applyInPandasWithState(
-        _make_wcount_fn(periods, bucket_ms),
+        _make_wcount_fn(periods, bucket_ms, init),
         outputStructType=WCOUNT_OUT,
         stateStructType=WCOUNT_STATE,
         outputMode="append",

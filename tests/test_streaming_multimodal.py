@@ -555,3 +555,65 @@ def test_streaming_resume_from_batch_snapshot(spark, tmp_path):
     }
     assert got_s.keys() == exp_s.keys()
     assert all(abs(got_s[k] - exp_s[k]) < 1e-12 for k in exp_s)
+
+
+def test_streaming_wcount_resume_from_batch_snapshot(spark, tmp_path):
+    """window_count handoff: the snapshot's window-context retention IS
+    the streaming op's bucket-map state — seed it and stream only the
+    delta; outputs equal a from-scratch stream over full history
+    restricted to the delta rows."""
+    from metarank_spark.engine import FeatureEngine, WindowCount
+    from metarank_spark.operators.incremental import snapshot
+    from metarank_spark.streaming.handoff import (
+        broadcast_seed,
+        wcount_seed_frame,
+    )
+    from metarank_spark.streaming.pipeline import streaming_window_count
+
+    DAY = 86_400_000
+    rows, seq = [], 0
+    # per item: clicks on many days, far beyond the (1,3)-day windows
+    for i in range(3):
+        for d in range(10):
+            for k in range(i + 1):
+                seq += 1
+                rows.append(interaction_event(
+                    f"p{i}", "click", T0 + d * 3 * DAY + k * 1000 + i,
+                    seq, user="u0"))
+    t_cut = T0 + 28 * DAY
+    delta_rows = []
+    for i in range(4):  # p3 unseen by the snapshot
+        for k in range(2):
+            seq += 1
+            delta_rows.append(interaction_event(
+                f"p{i}", "click", t_cut + DAY + k * 1000 + i, seq,
+                user="u0"))
+    hist = events_df(spark, rows)
+    full = events_df(spark, rows + delta_rows)
+
+    eng = FeatureEngine([WindowCount("wc", "click", (1, 3), scope="item")])
+    snap = snapshot(hist, t_cut, eng)
+    seed = wcount_seed_frame(snap, eng, "wc")
+    assert seed.count() == 3 and seed.filter(F.size("counts") > 0).count() == 3
+    init = broadcast_seed(spark, seed, ["buckets", "counts"])
+
+    src_delta = str(tmp_path / "wc_delta")
+    events_df(spark, delta_rows).write.parquet(src_delta)
+    src_full = str(tmp_path / "wc_full")
+    full.write.parquet(src_full)
+
+    got = {
+        (r["entity"], r["seq"]): r["wcnt"]
+        for r in _drive(spark, tmp_path, "wc_res", streaming_window_count(
+            stream_events(spark, src_delta), "click", (1, 3),
+            entity="item_id", init=init)).collect()
+    }
+    exp_all = {
+        (r["entity"], r["seq"]): r["wcnt"]
+        for r in _drive(spark, tmp_path, "wc_ful", streaming_window_count(
+            stream_events(spark, src_full), "click", (1, 3),
+            entity="item_id")).collect()
+    }
+    delta_seqs = {r["seq"] for r in delta_rows}
+    exp = {k: v for k, v in exp_all.items() if k[1] in delta_seqs}
+    assert got == exp
