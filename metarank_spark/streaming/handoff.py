@@ -11,6 +11,12 @@ folded full history:
   plus the tail's own writes ≤ t0 — i.e. exactly the full stream's count.
 - scalar: the last non-null write ≤ t0, which the tail retains by the
   last-1 rule.
+- window count: the per-bucket counts within max(periods) of the last
+  bucket — the window-context retention verbatim, no offset needed.
+- stats / freq / recent-items pools: the last-K accepted samples ≤ t0 —
+  the last-K retention verbatim (evicted samples can never re-enter).
+- map: the last value per (entity, map key) ≤ t0 (per-key last-1
+  retention).
 
 The seed ships as a Spark ``Broadcast`` of ``{entity: state}`` consulted
 by the state fn only for keys the store has never seen (first sight), so
@@ -36,7 +42,15 @@ from metarank_spark.operators.incremental import (
     IncrementalSnapshot,
     _feature_by_name,
     _parse_field_scope,
+    _str_head,
 )
+
+
+def _no_ttl_or_field_scope(cfg, what: str):
+    if _parse_field_scope(cfg.scope) or getattr(cfg, "ttl_ms", None):
+        raise NotImplementedError(
+            f"streaming handoff v1 covers plain-scoped, un-TTL'd {what}"
+        )
 
 
 def counter_seed_frame(
@@ -134,6 +148,148 @@ def wcount_seed_frame(
         "entity",
         F.transform(F.col("__bn"), lambda x: x["bucket"]).alias("buckets"),
         F.transform(F.col("__bn"), lambda x: x["n"]).alias("counts"),
+    )
+
+
+def _last_k_structs(src: DataFrame, k: int):
+    """Per-entity newest-first ``struct(ts_ms, seq, v)`` array capped at
+    ``k`` — the shared pool-seed agg. One grouped aggregation; each
+    entity's array is bounded by k, so the frame is entity-cardinality
+    sized like every other seed."""
+    return src.groupBy("entity").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "seq", "v")), asc=False),
+            1, k,
+        ).alias("__p")
+    )
+
+
+def stats_seed_frame(snap: IncrementalSnapshot, engine, name: str) -> DataFrame:
+    """``(entity, pool)`` at the cut for a ``Stats`` feature: the last
+    ``pool`` accepted samples ≤ t0 oldest-first — exactly the streaming
+    op's deque (pipeline.STATS_STATE), and exactly what the snapshot's
+    last-K retention keeps (evicted samples can never re-enter a
+    last-K pool, so no offset is needed)."""
+    from metarank_spark.engine import Stats, sample_accept_expr
+
+    cfg = _feature_by_name(engine, name)
+    if not isinstance(cfg, Stats):
+        raise ValueError(f"{name} is not a Stats feature")
+    _no_ttl_or_field_scope(cfg, "stats pools")
+    val = F.col("num_fields").getItem(cfg.field)
+    pred = (
+        (F.col("event_type") == "interaction")
+        & val.isNotNull()
+        & (F.col("ts_ms") <= snap.t0_ms)
+    )
+    if cfg.sample_rate < 1.0:
+        pred = pred & sample_accept_expr(cfg.sample_rate)
+    src = snap.tail.filter(pred).withColumn(
+        "entity", _entity_col(cfg.scope)
+    ).select("entity", "ts_ms", "seq", val.cast("double").alias("v"))
+    return _last_k_structs(src, cfg.pool).select(
+        "entity",
+        F.reverse(F.transform(F.col("__p"), lambda x: x["v"])).alias("pool"),
+    )
+
+
+def freq_seed_frame(snap: IncrementalSnapshot, engine, name: str) -> DataFrame:
+    """``(entity, pool)`` at the cut for a ``Freq`` feature: the last
+    ``pool`` accepted string samples ≤ t0 oldest-first (same no-offset
+    argument as stats_seed_frame)."""
+    from metarank_spark.engine import Freq, sample_accept_expr
+
+    cfg = _feature_by_name(engine, name)
+    if not isinstance(cfg, Freq):
+        raise ValueError(f"{name} is not a Freq feature")
+    _no_ttl_or_field_scope(cfg, "freq pools")
+    val = _str_head(cfg.field)
+    pred = (
+        (F.col("event_type") == "interaction")
+        & val.isNotNull()
+        & (F.col("ts_ms") <= snap.t0_ms)
+    )
+    if cfg.sample_rate < 1.0:
+        pred = pred & sample_accept_expr(cfg.sample_rate)
+    src = snap.tail.filter(pred).withColumn(
+        "entity", _entity_col(cfg.scope)
+    ).select("entity", "ts_ms", "seq", val.cast("string").alias("v"))
+    return _last_k_structs(src, cfg.pool).select(
+        "entity",
+        F.reverse(F.transform(F.col("__p"), lambda x: x["v"])).alias("pool"),
+    )
+
+
+def blist_seed_frame(snap: IncrementalSnapshot, engine, name: str) -> DataFrame:
+    """``(entity, ts, vals)`` newest-first at the cut for a
+    ``RecentItems`` feature — the streaming op's deque
+    (pipeline.BLIST_STATE) after its last pre-cut write. Sequential
+    evict-on-write collapses to one expression over the last ``count``
+    matching writes: time eviction is monotone with recency (anything
+    older than an evicted row is also evicted), so the state is
+    filter(ts ≥ last_ts − duration) ∘ take(count) of the newest-first
+    write list — exactly the snapshot's last-K retention support."""
+    from metarank_spark.engine import RecentItems
+
+    cfg = _feature_by_name(engine, name)
+    if not isinstance(cfg, RecentItems):
+        raise ValueError(f"{name} is not a RecentItems feature")
+    _no_ttl_or_field_scope(cfg, "recent-item lists")
+    src = snap.tail.filter(
+        (F.col("event_type") == "interaction")
+        & (F.col("interaction_type") == cfg.interaction)
+        & (F.col("ts_ms") <= snap.t0_ms)
+    ).withColumn("entity", _entity_col(cfg.scope)).select(
+        "entity", "ts_ms", "seq", F.col("item_id").cast("string").alias("v")
+    )
+    return (
+        _last_k_structs(src, cfg.count)
+        .withColumn(
+            "__cut",
+            F.element_at("__p", 1)["ts_ms"] - F.lit(cfg.duration_ms),
+        )
+        .withColumn(
+            "__k",
+            F.filter(F.col("__p"), lambda x: x["ts_ms"] >= F.col("__cut")),
+        )
+        .select(
+            "entity",
+            F.transform(F.col("__k"), lambda x: x["ts_ms"]).alias("ts"),
+            F.transform(F.col("__k"), lambda x: x["v"]).alias("vals"),
+        )
+    )
+
+
+def map_seed_frame(snap: IncrementalSnapshot, engine, name: str) -> DataFrame:
+    """``(entity, keys, vals)`` at the cut for a ``MapFeature``: the last
+    value per (entity, map key) ≤ t0 — the streaming op's map state
+    (pipeline.MAP_STATE); upserts keep only the last write per key, which
+    is the snapshot's per-(entity, key) last-1 retention."""
+    from metarank_spark.engine import MapFeature
+
+    cfg = _feature_by_name(engine, name)
+    if not isinstance(cfg, MapFeature):
+        raise ValueError(f"{name} is not a MapFeature feature")
+    _no_ttl_or_field_scope(cfg, "map features")
+    mk = _str_head(cfg.key_field)
+    mv = F.col("num_fields").getItem(cfg.value_field)
+    src = snap.tail.filter(
+        (F.col("event_type") == "interaction")
+        & mk.isNotNull() & mv.isNotNull()
+        & (F.col("ts_ms") <= snap.t0_ms)
+    ).withColumn("entity", _entity_col(cfg.scope)).select(
+        "entity", mk.cast("string").alias("mk"), "ts_ms", "seq",
+        mv.cast("double").alias("v"),
+    )
+    last = src.groupBy("entity", "mk").agg(
+        F.max_by("v", F.struct("ts_ms", "seq")).alias("v"))
+    return last.groupBy("entity").agg(
+        F.sort_array(F.collect_list(F.struct("mk", "v"))).alias("__kv")
+    ).select(
+        "entity",
+        F.transform(F.col("__kv"), lambda x: x["mk"]).alias("keys"),
+        F.transform(F.col("__kv"), lambda x: x["v"]).alias("vals"),
     )
 
 

@@ -375,9 +375,13 @@ BLIST_STATE = T.StructType(
 )
 
 
-def _make_blist_fn(count: int, duration_ms: int, sep: str):
+def _make_blist_fn(count: int, duration_ms: int, sep: str, init=None):
     def fn(key, pdfs, state: GroupState):
-        ts_l, vs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        if state.exists:
+            ts_l, vs = list(state.get[0]), list(state.get[1])
+        else:
+            seed = _init_get(init, key[0])  # (ts newest-first, vals) or None
+            ts_l, vs = (list(seed[0]), list(seed[1])) if seed else ([], [])
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -411,16 +415,19 @@ def streaming_bounded_list(
     duration_ms: int,
     entity: str = "user_id",
     sep: str = ",",
+    init=None,
 ) -> DataFrame:
     """BoundedListFeature streaming twin: evict-on-write deque per key
     (newest first, time+count eviction), emitted as the joined string at
     every append — read-at-write parity with ops.bounded_list_string.
-    State is at most ``count`` (ts, value) pairs per key."""
+    State is at most ``count`` (ts, value) pairs per key. ``init``:
+    optional ``{entity: (ts newest-first, vals)}`` seed
+    (streaming/handoff.py blist_seed_frame)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
     )
     return src.groupBy("entity").applyInPandasWithState(
-        _make_blist_fn(count, duration_ms, sep),
+        _make_blist_fn(count, duration_ms, sep, init),
         outputStructType=BLIST_OUT,
         stateStructType=BLIST_STATE,
         outputMode="append",
@@ -442,9 +449,10 @@ STATS_OUT = T.StructType(
 STATS_STATE = T.StructType([T.StructField("pool", T.ArrayType(T.DoubleType()))])
 
 
-def _make_stats_fn(pool: int):
+def _make_stats_fn(pool: int, init=None):
     def fn(key, pdfs, state: GroupState):
-        vals = list(state.get[0]) if state.exists else []
+        vals = (list(state.get[0]) if state.exists
+                else list(_init_get(init, key[0]) or []))
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -471,16 +479,19 @@ def _make_stats_fn(pool: int):
 
 
 def streaming_stats_pool(
-    events: DataFrame, value, pool: int = 10, entity: str = "user_id"
+    events: DataFrame, value, pool: int = 10, entity: str = "user_id",
+    init=None,
 ) -> DataFrame:
     """StatsEstimator streaming twin (model/Feature.scala:213-234): bounded
     last-``pool`` sample deque per key, min/max/avg/n emitted at every
-    sample — read-at-write parity with ops.stats_window."""
+    sample — read-at-write parity with ops.stats_window. ``init``:
+    optional ``{entity: pool oldest-first}`` seed
+    (streaming/handoff.py stats_seed_frame)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("v")
     )
     return src.groupBy("entity").applyInPandasWithState(
-        _make_stats_fn(pool),
+        _make_stats_fn(pool, init),
         outputStructType=STATS_OUT,
         stateStructType=STATS_STATE,
         outputMode="append",
@@ -499,9 +510,10 @@ FREQ_OUT = T.StructType(
 FREQ_STATE = T.StructType([T.StructField("pool", T.ArrayType(T.StringType()))])
 
 
-def _make_freq_fn(target: str, pool: int):
+def _make_freq_fn(target: str, pool: int, init=None):
     def fn(key, pdfs, state: GroupState):
-        vals = list(state.get[0]) if state.exists else []
+        vals = (list(state.get[0]) if state.exists
+                else list(_init_get(init, key[0]) or []))
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -523,16 +535,19 @@ def _make_freq_fn(target: str, pool: int):
 
 
 def streaming_freq_share(
-    events: DataFrame, value, target: str, pool: int = 10, entity: str = "user_id"
+    events: DataFrame, value, target: str, pool: int = 10,
+    entity: str = "user_id", init=None,
 ) -> DataFrame:
     """FreqEstimator streaming twin (model/Feature.scala:112-126): bounded
     last-``pool`` sample deque; emits the relative frequency of ``target``
-    at every sample — read-at-write parity with ops.freq_share."""
+    at every sample — read-at-write parity with ops.freq_share. ``init``:
+    optional ``{entity: pool oldest-first}`` seed
+    (streaming/handoff.py freq_seed_frame)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
     )
     return src.groupBy("entity").applyInPandasWithState(
-        _make_freq_fn(target, pool),
+        _make_freq_fn(target, pool, init),
         outputStructType=FREQ_OUT,
         stateStructType=FREQ_STATE,
         outputMode="append",
@@ -556,9 +571,13 @@ MAP_STATE = T.StructType(
 )
 
 
-def _make_map_fn():
+def _make_map_fn(init=None):
     def fn(key, pdfs, state: GroupState):
-        m = dict(zip(*state.get)) if state.exists else {}
+        if state.exists:
+            m = dict(zip(*state.get))
+        else:
+            seed = _init_get(init, key[0])  # (keys, vals) or None
+            m = dict(zip(seed[0], seed[1])) if seed else {}
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts_ms", "seq"])
@@ -579,18 +598,20 @@ def _make_map_fn():
 
 
 def streaming_map_feature(
-    events: DataFrame, map_key, value, entity: str = "user_id"
+    events: DataFrame, map_key, value, entity: str = "user_id", init=None,
 ) -> DataFrame:
     """MapFeature streaming twin (MemMapFeature.scala:12-24 PutTuple
     upserts): per-key map state, emitted at every write as a
     deterministic sorted k=v rendering. The final emission per entity
-    equals the batch final-state read (ops.map_feature_last)."""
+    equals the batch final-state read (ops.map_feature_last). ``init``:
+    optional ``{entity: (keys, vals)}`` seed
+    (streaming/handoff.py map_seed_frame)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq",
         map_key.cast("string").alias("mk"), value.cast("double").alias("v"),
     )
     return src.groupBy("entity").applyInPandasWithState(
-        _make_map_fn(),
+        _make_map_fn(init),
         outputStructType=MAP_OUT,
         stateStructType=MAP_STATE,
         outputMode="append",

@@ -617,3 +617,117 @@ def test_streaming_wcount_resume_from_batch_snapshot(spark, tmp_path):
     delta_seqs = {r["seq"] for r in delta_rows}
     exp = {k: v for k, v in exp_all.items() if k[1] in delta_seqs}
     assert got == exp
+
+
+def test_streaming_pool_resume_from_batch_snapshot(spark, tmp_path):
+    """Pool-primitive handoff (stats / freq / recent-items / map): the
+    snapshot's last-K retention IS the streaming deque state — seed each
+    twin from a batch snapshot and stream only the delta; outputs equal a
+    from-scratch stream over full history restricted to the delta rows.
+    With this, all 7 stateful primitives have a batch→streaming seed."""
+    from metarank_spark.engine import (
+        FeatureEngine,
+        Freq,
+        MapFeature,
+        RecentItems,
+        Stats,
+    )
+    from metarank_spark.operators.incremental import snapshot
+    from metarank_spark.streaming.handoff import (
+        blist_seed_frame,
+        broadcast_seed,
+        freq_seed_frame,
+        map_seed_frame,
+        stats_seed_frame,
+    )
+    from metarank_spark.streaming.pipeline import (
+        streaming_bounded_list,
+        streaming_freq_share,
+        streaming_map_feature,
+        streaming_stats_pool,
+    )
+
+    DAY = 86_400_000
+    rows, seq = [], 0
+    # u0 writes daily (count-eviction binds), u2 every 3 days
+    # (time-eviction binds) — both deque modes exercised by the seed
+    for u in range(3):
+        for d in range(12):
+            seq += 1
+            rows.append(interaction_event(
+                f"p{seq % 4}", "click", T0 + d * (u + 1) * DAY + u, seq,
+                user=f"u{u}", str_fields={"cat": [f"c{seq % 3}"]},
+                num_fields={"price": float((seq * 7) % 23)}))
+    t_cut = T0 + 40 * DAY
+    delta_rows = []
+    for u in range(4):  # u3 unseen by the snapshot: streams from zero
+        for k in range(2):
+            seq += 1
+            delta_rows.append(interaction_event(
+                f"p{seq % 4}", "click", t_cut + DAY + k * 1000 + u, seq,
+                user=f"u{u}", str_fields={"cat": [f"c{seq % 3}"]},
+                num_fields={"price": float((seq * 7) % 23)}))
+    hist = events_df(spark, rows)
+    full = events_df(spark, rows + delta_rows)
+
+    eng = FeatureEngine([
+        Stats("st", "price", pool=5, percentiles=(50,), scope="user"),
+        Freq("fq", "cat", pool=5, scope="user"),
+        RecentItems("ri", "click", count=3, duration_ms=5 * DAY,
+                    scope="user"),
+        MapFeature("mp", key_field="cat", value_field="price",
+                   scope="user"),
+    ])
+    snap = snapshot(hist, t_cut, eng)
+
+    st_seed = stats_seed_frame(snap, eng, "st")
+    # history (12 writes) genuinely exceeds the pool: seeds are truncated
+    assert {r["entity"]: len(r["pool"]) for r in st_seed.collect()} == {
+        "u0": 5, "u1": 5, "u2": 5}
+    bl_seed = blist_seed_frame(snap, eng, "ri")
+    # u0: 5 in-window writes → count-truncated to 3; u2: only 2 of the
+    # last 3 writes are within duration → time-evicted to 2
+    assert {r["entity"]: len(r["vals"]) for r in bl_seed.collect()} == {
+        "u0": 3, "u1": 3, "u2": 2}
+
+    st_init = broadcast_seed(spark, st_seed, "pool")
+    fq_init = broadcast_seed(spark, freq_seed_frame(snap, eng, "fq"), "pool")
+    bl_init = broadcast_seed(spark, bl_seed, ["ts", "vals"])
+    mp_init = broadcast_seed(
+        spark, map_seed_frame(snap, eng, "mp"), ["keys", "vals"])
+
+    src_delta = str(tmp_path / "pool_delta")
+    events_df(spark, delta_rows).write.parquet(src_delta)
+    src_full = str(tmp_path / "pool_full")
+    full.write.parquet(src_full)
+
+    price = F.col("num_fields").getItem("price")
+    cat = F.col("str_fields").getItem("cat").getItem(0)
+
+    def run(src, tag, st_i, fq_i, bl_i, mp_i):
+        ev = stream_events(spark, src)
+        return (
+            _drive(spark, tmp_path, tag + "_st", streaming_stats_pool(
+                ev, price, pool=5, entity="user_id", init=st_i)),
+            _drive(spark, tmp_path, tag + "_fq", streaming_freq_share(
+                ev, cat, "c0", pool=5, entity="user_id", init=fq_i)),
+            _drive(spark, tmp_path, tag + "_bl", streaming_bounded_list(
+                ev.filter(F.col("interaction_type") == "click"),
+                F.col("item_id"), count=3, duration_ms=5 * DAY,
+                entity="user_id", init=bl_i)),
+            _drive(spark, tmp_path, tag + "_mp", streaming_map_feature(
+                ev, cat, price, entity="user_id", init=mp_i)),
+        )
+
+    res = run(src_delta, "pres", st_init, fq_init, bl_init, mp_init)
+    ful = run(src_full, "pful", None, None, None, None)
+    delta_seqs = {r["seq"] for r in delta_rows}
+    for got_df, exp_df, cols in zip(res, ful, [
+        ("stat_min", "stat_max", "stat_avg", "stat_n"),
+        ("freq_share",), ("recent",), ("map_state",),
+    ]):
+        got = {(r["entity"], r["seq"]): tuple(r[c] for c in cols)
+               for r in got_df.collect()}
+        exp = {(r["entity"], r["seq"]): tuple(r[c] for c in cols)
+               for r in exp_df.collect() if r["seq"] in delta_seqs}
+        assert got == exp
