@@ -422,6 +422,30 @@ def q_rank_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rank_krr(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall rank correlation between arrival order and score order per
+    user — the per-request ``krr`` the reference's reranker logs
+    (ml/Ranker.scala:71, util/KendallCorrelation.scala:8-15), over the
+    driver stream: original order = (ts, event_id), reranked order =
+    `value` desc. One user-hash exchange feeding two same-partition
+    windows + the grouped O(n²)-array inversion count
+    (operators/ranker.kendall_krr) — no UDF, no second shuffle."""
+    from metarank_spark.operators.ranker import kendall_krr
+
+    ev = load_events(spark, sf).filter(
+        F.col("event_type").isin("view", "click"))
+    worig = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    wnew = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id")
+    d = ev.select(
+        "user_id",
+        (F.row_number().over(worig) - 1).alias("position"),
+        (F.row_number().over(wnew) - 1).alias("new_position"),
+    )
+    out = kendall_krr(d, ranking_col="user_id")
+    return out.select("user_id", F.round("krr", 6).alias("krr"))
+
+
 def q_interacted_with(spark: SparkSession, sf: str) -> DataFrame:
     """InteractedWith analog over the driver stream (engine.py
     InteractedWith; feature/InteractedWithFeature.scala two-stage read):
@@ -1878,6 +1902,30 @@ for _rname in (
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)
+
+# rank_krr (round 5) was BORN local-only: the driver registry is at its
+# 50-query cap, and rank_eval already holds the eval family's driver
+# slot. Same full DuckDB comparison every CI pass via all_queries().
+_RETIRED["rank_krr"] = q_rank_krr
+_RETIRED_ORACLES["rank_krr"] = """
+    WITH ev AS (SELECT event_id::BIGINT AS event_id,
+            user_id::BIGINT AS user_id, epoch_ms(ts) AS ts_ms, value
+          FROM events WHERE event_type IN ('view', 'click')),
+    d AS (SELECT user_id,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts_ms, event_id) - 1 AS pos,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) - 1 AS npos
+          FROM ev),
+    n AS (SELECT user_id, count(*)::BIGINT AS c FROM d GROUP BY user_id),
+    inv AS (SELECT a.user_id,
+            sum(CASE WHEN a.npos > b.npos THEN 1 ELSE 0 END)::BIGINT AS dis
+          FROM d a JOIN d b ON a.user_id = b.user_id AND a.pos < b.pos
+          GROUP BY a.user_id)
+    SELECT n.user_id,
+      CASE WHEN n.c >= 2 THEN round(1.0 - 4.0 * coalesce(inv.dis, 0)::DOUBLE
+           / (n.c * (n.c - 1))::DOUBLE, 6) END AS krr
+    FROM n LEFT JOIN inv ON n.user_id = inv.user_id"""
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -128,6 +128,17 @@ class LoadedConfig:
             "hot_entities": self.hot_entities,
         }
 
+    def model_selectors(self) -> dict:
+        """Per-model training-data selector trees (config/Selector.scala;
+        SelectorYamlTest: a model with no ``selector`` key accepts every
+        clickthrough). Compile with selectors.selector_predicate."""
+        from metarank_spark.selectors import parse_selector
+
+        return {
+            name: parse_selector((m or {}).get("selector"))
+            for name, m in self.models.items()
+        }
+
 
 def parse_feature(entry: dict):
     """One YAML feature entry → engine dataclass

@@ -51,6 +51,9 @@ def clickthroughs(events: DataFrame) -> DataFrame:
     rankings = events.filter(F.col("event_type") == "ranking").select(
         F.col("event_id").alias("ranking_id"),
         "ts_ms", "seq", "user_id", "session_id", "items",
+        # the ranking event's own fields — model selectors route on them
+        # (selectors.FieldSelector, Selector.scala:35-41)
+        "str_fields",
     )
     ints = events.filter(
         (F.col("event_type") == "interaction") & F.col("ranking_id").isNotNull()
