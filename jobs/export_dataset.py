@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--format", choices=("libsvm", "csv", "parquet"),
                     default="libsvm")
     ap.add_argument("--config", help="reference-style Metarank YAML config")
+    ap.add_argument("--model", help="export the dataset FOR one model from "
+                    "the config's models: section — its selector "
+                    "(config/Selector.scala) picks which clickthroughs "
+                    "this model trains on")
     ap.add_argument("--split", choices=("random", "time", "hold_last"),
                     default="hold_last")
     ap.add_argument("--split-ratio", type=float, default=0.8)
@@ -57,10 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("need --events, --table or --synthetic-users")
 
+    cfg = None
     if args.config:
         from metarank_spark.config import load_config
 
-        features = load_config(args.config).features
+        cfg = load_config(args.config)
+        features = cfg.features
     else:
         try:
             from jobs.backfill import DEFAULT_FEATURES, parse_features
@@ -72,6 +78,27 @@ def main(argv: list[str] | None = None) -> int:
     engine = FeatureEngine(features)
     tm = training_matrix(events, engine)
     feature_cols = [f.name for f in features]
+
+    selector = None
+    if args.model:
+        if cfg is None:
+            ap.error("--model needs --config (the models: section)")
+        try:
+            selector = cfg.model_selectors()[args.model]
+        except KeyError:
+            ap.error(f"model {args.model!r} not in the config's models: "
+                     f"section ({sorted(cfg.models)})")
+        from metarank_spark.operators.clickthrough import clickthroughs
+        from metarank_spark.selectors import Accept, select_clickthroughs
+
+        if selector != Accept():
+            # the TrainBuffer routing step (Selector.accept per
+            # clickthrough): accepted ranking ids leftsemi-prune the
+            # matrix — one ranking-cardinality frame, one hash join on
+            # the key the matrix is already organized by
+            accepted = select_clickthroughs(
+                clickthroughs(events), selector).select("ranking_id")
+            tm = tm.join(accepted, "ranking_id", "leftsemi")
 
     split_fn = {
         "random": lambda df: splits.split_random(df, ratio=args.split_ratio),
@@ -104,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
         "split": args.split,
         "rows": counts,
     }
+    if args.model:
+        desc["model"] = args.model
+        desc["selector"] = repr(selector)
     # write the descriptor through the Hadoop FS API so --output works on
     # any supported filesystem (hdfs://, s3a://, file:), not just the
     # driver's local disk
