@@ -784,6 +784,17 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return sim.rank_topk(cand.select("vec_id", score.alias("score")), k=3)
 
 
+def q_dedup_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-window detection over the input_hint token table
+    (functions/dedup.duplicated_windows — the Lee et al. 2022
+    exact-substring dedup analog): per doc, how many of its 30-token
+    windows (stride 10) occur verbatim ≥2 times anywhere in the corpus.
+    Hash-keyed count + mark join + doc agg — shuffle rows are 16-byte
+    keys regardless of window width."""
+    return dd.duplicated_windows(
+        tx.tokenized_sequences(spark, sf), window=30, stride=10)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-bucket dedup: documents sharing an identical simhash form a
     near-dup cluster (the zero-hamming-distance tier of simhash dedup —
@@ -1399,6 +1410,23 @@ _TEXT_ORACLES: dict[str, str] = {
           (SELECT *, (row_number() OVER (ORDER BY score DESC, vec_id))::BIGINT AS rank
            FROM cand)
         WHERE rank <= 3""",
+    "dedup_window": f"""
+        {SEQ},
+        d AS (SELECT doc_id, tokens, len(tokens) AS n_tok FROM seq),
+        w AS (SELECT doc_id,
+                array_to_string(list_slice(tokens, s + 1, s + 30), ' ') AS win
+              FROM d, unnest(range(0, n_tok - 30 + 1, 10)) AS t(s)
+              WHERE n_tok >= 30),
+        c AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        m AS (SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+                sum(CASE WHEN c.win IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dup
+              FROM w LEFT JOIN c ON w.win = c.win GROUP BY w.doc_id)
+        SELECT d.doc_id,
+          coalesce(m.n_windows, 0)::BIGINT AS n_windows,
+          coalesce(m.n_dup, 0)::BIGINT AS n_dup_windows,
+          round(m.n_dup::DOUBLE / nullif(m.n_windows, 0), 6) AS dup_fraction
+        FROM d LEFT JOIN m ON d.doc_id = m.doc_id""",
     "dedup_simhash": f"""
         {SEQ}, sh AS (SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM seq)
         SELECT doc_id, simhash,
@@ -1509,6 +1537,7 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
+    "dedup_window": q_dedup_window,
     "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "term_match": q_term_match,
@@ -1891,6 +1920,10 @@ _ORACLES["interaction_count_salted"] = _ORACLES["interaction_count"]
 #                         sessionize_salted stays as the driver's salted
 #                         representative — retired to make room for
 #                         incremental_count_ttl)
+#   dedup_keep          ⊂ dedup_clusters (shares _doc_clusters verbatim;
+#                         the survivor pick is two grouped aggs on the
+#                         cluster frame — retired in round 5 to make
+#                         room for dedup_window, a NEW operator family)
 # They remain first-class locally: all_queries()/all_oracles() feed
 # tests/test_correctness.py and bench.py, so each still runs the full
 # DuckDB comparison every CI pass.
@@ -1899,6 +1932,7 @@ _RETIRED_ORACLES: dict[str, str] = {}
 for _rname in (
     "lag_lead", "window_count", "freq_share_sampled", "simhash",
     "source_stats", "stats_percentile", "interaction_count_salted",
+    "dedup_keep",
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)

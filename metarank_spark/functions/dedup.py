@@ -231,6 +231,78 @@ def connected_components(
     )
 
 
+def duplicated_windows(
+    seq: DataFrame,
+    window: int = 30,
+    stride: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-window detection — the distributed analog of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": verbatim ≥50-token substrings repeated
+    across a corpus drive memorization; dedup them before training).
+    Fixed ``window``-token windows at ``stride`` offsets; a window is
+    duplicated when its exact content occurs ≥ ``min_count`` times
+    corpus-wide (within- and cross-document alike).
+
+    Scale shape: explode → count by window key → mark join → per-doc
+    agg → zero-doc fill. The key is the 96-bit (xxhash64, murmur3) pair
+    of the token slice, not the slice itself, so shuffle rows stay ~16
+    bytes regardless of window length; two independent hashes keep the
+    collision space ~2^96, safe past 10^12 windows where a single 64-bit
+    key would birthday-collide. The window-scale shuffles are the
+    key-count aggregate (map-side partial, so a degenerate corpus-wide
+    hot window — boilerplate, padding runs — costs partial counts, not
+    one task) and the mark join (dup-key side is usually small enough
+    for AQE to broadcast; a skewed key splits under AQE skew-join); the
+    doc-cardinality tail (per-doc agg + the left join that restores
+    zero-window docs) is noise next to them.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_fraction) for every
+    doc, zeros/null for docs shorter than one window."""
+    starts = F.sequence(
+        F.lit(0), F.col("n_tok") - window, F.lit(stride))
+    win = F.slice("tokens", F.col("__s") + 1, window)
+    w = (
+        seq.filter(F.col("n_tok") >= window)
+        .select(id_col, "tokens", F.explode(starts).alias("__s"))
+        .select(
+            id_col,
+            F.struct(
+                F.xxhash64(win).alias("h1"), F.hash(win).alias("h2")
+            ).alias("__k"),
+        )
+    )
+    dup_keys = (
+        w.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__k", F.lit(1).alias("__dup"))
+    )
+    per_doc = (
+        w.join(dup_keys, "__k", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("__d"),
+        )
+    )
+    return (
+        seq.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__w"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("__d"), F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("__d"), F.lit(0)).cast("double")
+                / F.when(F.col("__w") > 0, F.col("__w")),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def simhash_expr(tokens: Column) -> Column:
     """SimHash over the token multiset: spread each token id with a
     Knuth-style multiplier, majority-vote each of SIMHASH_BITS bits."""

@@ -209,3 +209,30 @@ def test_connected_components_storage_hygiene(spark):
     assert not re.search(r"\.persist\(", src), (
         "dedup.py must use GC-managed checkpoints, never bare .persist()"
     )
+
+
+def test_duplicated_windows_exact(spark):
+    """duplicated_windows (Lee et al. exact-substring analog) on a
+    hand-built corpus: a 30-token span shared verbatim by two docs is
+    the only duplicated window; short docs report zero windows."""
+    span = list(range(100, 130))
+    rows = [
+        ("a", span + list(range(1, 11))),        # 40 tok → windows @0,@10
+        ("b", span + [9] * 5),                   # 35 tok → window @0 = span
+        ("c", list(range(500, 540))),            # 40 tok, all unique
+        ("d", [1, 2, 3]),                        # too short: 0 windows
+    ]
+    seq = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in dd.duplicated_windows(seq, window=30, stride=10).collect()
+    }
+    assert got == {
+        "a": (2, 1, 0.5),     # only its span-window repeats (in b)
+        "b": (1, 1, 1.0),
+        "c": (2, 0, 0.0),
+        "d": (0, 0, None),
+    }
