@@ -237,3 +237,22 @@ def test_global_scope_windows_never_event_scale(spark):
         if first.startswith("ts_ms") or first.startswith("seq"):
             bad.append(mm.group(1)[:120])
     assert not bad, f"unpartitioned event-order windows: {bad}"
+
+
+def test_dedup_window_shuffles_hash_keys_not_arrays(spark):
+    """duplicated_windows' scale claim: window-scale exchanges carry the
+    96-bit hash struct, never the token arrays themselves (16-byte
+    shuffle rows whatever the window width), and the plan stays within
+    its exchange budget."""
+    import __spark_entry__ as em
+
+    df = em.all_queries()["dedup_window"](spark, SF_SMALL)
+    plan = plan_of(df)
+    ex = [b for b in plan.split("Exchange hashpartitioning(")[1:]]
+    assert ex, "expected hash exchanges"
+    # no exchange partitions by the raw token window; keys are the
+    # xxhash64/hash struct, doc_id, or the repartition round-robin
+    for block in ex:
+        key = block[:80]
+        assert "tokens" not in key and "slice" not in key, key
+    assert plan.count("Exchange") <= 8
