@@ -18,14 +18,20 @@ folded full history:
 - map: the last value per (entity, map key) ≤ t0 (per-key last-1
   retention).
 
-The seed ships as a Spark ``Broadcast`` of ``{entity: state}`` consulted
-by the state fn only for keys the store has never seen (first sight), so
-a checkpointed restart never overrides live state. On a real cluster
-with state bigger than one executor's memory, the same seed frame feeds
-Spark's initial-state API (``transformWithStateInPandas(initialState=)``)
-instead of a broadcast — that API needs protobuf, absent in this
-sandbox, so the broadcast path is the tested one; the seed-frame
-DERIVATION below is shared by both.
+The seed ships one of two ways, both consulted only for keys the store
+has never seen (first sight), so a checkpointed restart never overrides
+live state:
+
+- ``init=broadcast_seed(spark, frame, cols)``: a Broadcast
+  ``{entity: state}`` dict — zero per-row cost, bounded by driver
+  memory (the frame is collect()ed once).
+- ``seed=<the seed frame itself>``: a stream-static LEFT JOIN attaches
+  ``__seed*`` columns to the write stream (pipeline._attach_seed) — no
+  driver collect anywhere, so seed cardinality is unbounded; Spark
+  broadcasts the static side when small and shuffle-joins when not.
+  This is the warehouse-scale path. (Spark's own initial-state API,
+  ``transformWithStateInPandas(initialState=)``, would serve the same
+  role; it needs protobuf, absent in this sandbox.)
 
 Equality contract (tests/test_streaming_multimodal.py handoff tests):
 resumed-stream outputs over the delta == from-scratch stream over full

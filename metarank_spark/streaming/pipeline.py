@@ -110,6 +110,37 @@ def stream_wire_events(spark: SparkSession, fmt: str,
     )
 
 
+def _pdf_seed(pdf: "pd.DataFrame", *cols):
+    """First-sight seed riding the stream itself (the ``seed=`` join
+    path, see _attach_seed): the ``__seed*`` columns are constant per
+    key, so read them off any row of the first batch. Returns the tuple
+    of values (or the single value), or None when the key has no seed
+    row (left-join miss) or the columns aren't attached."""
+    if cols[0] not in pdf.columns or len(pdf) == 0:
+        return None
+    vals = []
+    for c in cols:
+        v = pdf[c].iloc[0]
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        vals.append(v)
+    return vals[0] if len(vals) == 1 else tuple(vals)
+
+
+def _attach_seed(src: DataFrame, seed: DataFrame | None,
+                 mapping: dict[str, str]) -> DataFrame:
+    """Stream-static LEFT JOIN of the seed frame onto the write stream —
+    the DISTRIBUTED alternative to broadcast_seed: no driver collect, so
+    the seed cardinality is unbounded (Spark broadcasts it when small,
+    shuffle-joins when not). ``mapping``: seed column → reserved
+    ``__seed*`` name the state fn reads at first sight."""
+    if seed is None:
+        return src
+    cols = [F.col("entity")] + [
+        F.col(s).alias(d) for s, d in mapping.items()]
+    return src.join(seed.select(*cols), "entity", "left")
+
+
 def _init_get(init, entity):
     """Resolve a key's seed state from an init mapping that may be a
     plain dict or a Spark ``Broadcast`` of one (the broadcast form ships
@@ -137,8 +168,14 @@ def _make_counter_fn(refresh_ms: int, init=None):
             total, last_emit = state.get
         else:
             total, last_emit = _init_get(init, key[0]) or 0, None
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed")
+                if s is not None:
+                    total = int(s)
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             ts = pdf["ts_ms"].values
             counts = []
@@ -167,16 +204,20 @@ def _make_counter_fn(refresh_ms: int, init=None):
 
 def streaming_interaction_count(
     events: DataFrame, interaction: str, entity: str = "user_id",
-    refresh_ms: int = 0, init=None,
+    refresh_ms: int = 0, init=None, seed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-event lifetime interaction count as an incrementally maintained
     stream (vectorized Arrow state op, no per-row Python). ``init``: an
     optional ``{entity: total}`` mapping (dict or Broadcast) seeding keys
-    the state store has never seen — see streaming/handoff.py."""
+    the state store has never seen — see streaming/handoff.py. ``seed``:
+    the same handoff as a FRAME ``(entity, total)`` attached by a
+    stream-static left join — distributed, no driver collect, unbounded
+    seed cardinality (use instead of ``init`` past driver memory)."""
     writes = events.filter(
         (F.col("event_type") == "interaction")
         & (F.col("interaction_type") == interaction)
     ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
+    writes = _attach_seed(writes, seed, {"total": "__seed"})
     return writes.groupBy("entity").applyInPandasWithState(
         _make_counter_fn(refresh_ms, init),
         outputStructType=COUNTER_OUT,
@@ -214,8 +255,15 @@ def _make_wcount_fn(periods: tuple[int, ...], bucket_ms: int, init=None):
         else:
             seed = _init_get(init, key[0])  # (buckets, counts) or None
             m = dict(zip(seed[0], seed[1])) if seed else {}
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed_b", "__seed_c")
+                if s is not None:
+                    # plain ints: numpy scalars poison the state pickle
+                    m = {int(b): int(c) for b, c in zip(s[0], s[1])}
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             vals = []
             for t in pdf["ts_ms"].values:
@@ -248,17 +296,22 @@ def streaming_window_count(
     bucket_ms: int = 86_400_000,
     entity: str = "item_id",
     init=None,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """PeriodicCounter as an incrementally maintained stream: at each
     matching interaction emit the anchor-at-last-bucket window vector
     (model/Feature.scala:142-161 semantics). State is the bucket map,
     evicted past max(periods) — O(max_period) longs per key. ``init``:
     optional ``{entity: (buckets, counts)}`` seed mapping
-    (streaming/handoff.py wcount_seed_frame)."""
+    (streaming/handoff.py wcount_seed_frame); ``seed``: the same seed as
+    a frame ``(entity, buckets, counts)`` via stream-static join (no
+    driver collect)."""
     writes = events.filter(
         (F.col("event_type") == "interaction")
         & (F.col("interaction_type") == interaction)
     ).select(F.col(entity).alias("entity"), "ts_ms", "seq")
+    writes = _attach_seed(
+        writes, seed, {"buckets": "__seed_b", "counts": "__seed_c"})
     return writes.groupBy("entity").applyInPandasWithState(
         _make_wcount_fn(periods, bucket_ms, init),
         outputStructType=WCOUNT_OUT,
@@ -321,8 +374,14 @@ SCALAR_STATE = T.StructType([T.StructField("last", T.DoubleType())])
 def _make_scalar_fn(init=None):
     def fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else _init_get(init, key[0])
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed")
+                if s is not None:
+                    last = float(s)
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             vals = []
             for w in pdf["w"].values:
@@ -342,14 +401,18 @@ def _make_scalar_fn(init=None):
 
 
 def streaming_last_scalar(events: DataFrame, value, entity: str = "user_id",
-                          init=None) -> DataFrame:
+                          init=None, seed: DataFrame | None = None
+                          ) -> DataFrame:
     """ScalarFeature streaming twin (MemScalarFeature.scala:14-17): carry
     the latest non-null ``value`` write to every event of the entity —
     the incremental as-of read. State is one double per key. ``init``: an
-    optional ``{entity: last_value}`` seed mapping (streaming/handoff.py)."""
+    optional ``{entity: last_value}`` seed mapping (streaming/handoff.py);
+    ``seed``: the same as a frame ``(entity, last)`` via stream-static
+    join (no driver collect)."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("w")
     )
+    src = _attach_seed(src, seed, {"last": "__seed"})
     return src.groupBy("entity").applyInPandasWithState(
         _make_scalar_fn(init),
         outputStructType=SCALAR_OUT,
@@ -382,8 +445,14 @@ def _make_blist_fn(count: int, duration_ms: int, sep: str, init=None):
         else:
             seed = _init_get(init, key[0])  # (ts newest-first, vals) or None
             ts_l, vs = (list(seed[0]), list(seed[1])) if seed else ([], [])
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed_ts", "__seed_vals")
+                if s is not None:
+                    ts_l, vs = [int(t) for t in s[0]], [str(v) for v in s[1]]
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             joined = []
             for t, v in zip(pdf["ts_ms"].values, pdf["v"].values):
@@ -416,16 +485,20 @@ def streaming_bounded_list(
     entity: str = "user_id",
     sep: str = ",",
     init=None,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """BoundedListFeature streaming twin: evict-on-write deque per key
     (newest first, time+count eviction), emitted as the joined string at
     every append — read-at-write parity with ops.bounded_list_string.
     State is at most ``count`` (ts, value) pairs per key. ``init``:
     optional ``{entity: (ts newest-first, vals)}`` seed
-    (streaming/handoff.py blist_seed_frame)."""
+    (streaming/handoff.py blist_seed_frame); ``seed``: the same as a
+    frame ``(entity, ts, vals)`` via stream-static join."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
     )
+    src = _attach_seed(
+        src, seed, {"ts": "__seed_ts", "vals": "__seed_vals"})
     return src.groupBy("entity").applyInPandasWithState(
         _make_blist_fn(count, duration_ms, sep, init),
         outputStructType=BLIST_OUT,
@@ -453,8 +526,14 @@ def _make_stats_fn(pool: int, init=None):
     def fn(key, pdfs, state: GroupState):
         vals = (list(state.get[0]) if state.exists
                 else list(_init_get(init, key[0]) or []))
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed")
+                if s is not None:
+                    vals = [float(v) for v in s]
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             rows = []
             for v in pdf["v"].values:
@@ -480,16 +559,18 @@ def _make_stats_fn(pool: int, init=None):
 
 def streaming_stats_pool(
     events: DataFrame, value, pool: int = 10, entity: str = "user_id",
-    init=None,
+    init=None, seed: DataFrame | None = None,
 ) -> DataFrame:
     """StatsEstimator streaming twin (model/Feature.scala:213-234): bounded
     last-``pool`` sample deque per key, min/max/avg/n emitted at every
     sample — read-at-write parity with ops.stats_window. ``init``:
     optional ``{entity: pool oldest-first}`` seed
-    (streaming/handoff.py stats_seed_frame)."""
+    (streaming/handoff.py stats_seed_frame); ``seed``: the same as a
+    frame ``(entity, pool)`` via stream-static join."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("double").alias("v")
     )
+    src = _attach_seed(src, seed, {"pool": "__seed"})
     return src.groupBy("entity").applyInPandasWithState(
         _make_stats_fn(pool, init),
         outputStructType=STATS_OUT,
@@ -514,8 +595,14 @@ def _make_freq_fn(target: str, pool: int, init=None):
     def fn(key, pdfs, state: GroupState):
         vals = (list(state.get[0]) if state.exists
                 else list(_init_get(init, key[0]) or []))
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed")
+                if s is not None:
+                    vals = [str(v) for v in s]
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             shares = []
             for v in pdf["v"].values:
@@ -536,16 +623,18 @@ def _make_freq_fn(target: str, pool: int, init=None):
 
 def streaming_freq_share(
     events: DataFrame, value, target: str, pool: int = 10,
-    entity: str = "user_id", init=None,
+    entity: str = "user_id", init=None, seed: DataFrame | None = None,
 ) -> DataFrame:
     """FreqEstimator streaming twin (model/Feature.scala:112-126): bounded
     last-``pool`` sample deque; emits the relative frequency of ``target``
     at every sample — read-at-write parity with ops.freq_share. ``init``:
     optional ``{entity: pool oldest-first}`` seed
-    (streaming/handoff.py freq_seed_frame)."""
+    (streaming/handoff.py freq_seed_frame); ``seed``: the same as a
+    frame ``(entity, pool)`` via stream-static join."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq", value.cast("string").alias("v")
     )
+    src = _attach_seed(src, seed, {"pool": "__seed"})
     return src.groupBy("entity").applyInPandasWithState(
         _make_freq_fn(target, pool, init),
         outputStructType=FREQ_OUT,
@@ -578,8 +667,14 @@ def _make_map_fn(init=None):
         else:
             seed = _init_get(init, key[0])  # (keys, vals) or None
             m = dict(zip(seed[0], seed[1])) if seed else {}
+        seeded = state.exists
         out = []
         for pdf in pdfs:
+            if not seeded:
+                s = _pdf_seed(pdf, "__seed_keys", "__seed_vals")
+                if s is not None:
+                    m = {str(k): float(v) for k, v in zip(s[0], s[1])}
+                seeded = True
             pdf = pdf.sort_values(["ts_ms", "seq"])
             snap = []
             for mk, v in zip(pdf["mk"].values, pdf["v"].values):
@@ -599,17 +694,21 @@ def _make_map_fn(init=None):
 
 def streaming_map_feature(
     events: DataFrame, map_key, value, entity: str = "user_id", init=None,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """MapFeature streaming twin (MemMapFeature.scala:12-24 PutTuple
     upserts): per-key map state, emitted at every write as a
     deterministic sorted k=v rendering. The final emission per entity
     equals the batch final-state read (ops.map_feature_last). ``init``:
     optional ``{entity: (keys, vals)}`` seed
-    (streaming/handoff.py map_seed_frame)."""
+    (streaming/handoff.py map_seed_frame); ``seed``: the same as a frame
+    ``(entity, keys, vals)`` via stream-static join."""
     src = events.select(
         F.col(entity).alias("entity"), "ts_ms", "seq",
         map_key.cast("string").alias("mk"), value.cast("double").alias("v"),
     )
+    src = _attach_seed(
+        src, seed, {"keys": "__seed_keys", "vals": "__seed_vals"})
     return src.groupBy("entity").applyInPandasWithState(
         _make_map_fn(init),
         outputStructType=MAP_OUT,

@@ -547,6 +547,23 @@ def test_streaming_resume_from_batch_snapshot(spark, tmp_path):
         ).filter(F.col("ts_ms") > t_cut).collect()
     }
     assert got_c == exp_c
+    # the DISTRIBUTED seed path (stream-static join, no driver collect)
+    # produces the same resume
+    got_c3 = {
+        (r["entity"], r["seq"]): r["value"]
+        for r in _drive(spark, tmp_path, "sj_c", streaming_interaction_count(
+            stream_events(spark, src), "click", entity="user_id",
+            seed=counter_seed_frame(snap, eng, "uclicks"))).collect()
+    }
+    assert got_c3 == exp_c
+    got_s3 = {
+        (r["entity"], r["seq"]): r["value"]
+        for r in _drive(spark, tmp_path, "sj_s", streaming_last_scalar(
+            stream_events(spark, src), price, entity="user_id",
+            seed=scalar_seed_frame(snap, price, "user_id"))).collect()
+    }
+    assert got_s3 == got_s
+
     exp_s = {
         (r["user_id"], r["seq"]): r["value"]
         for r in ops.last_scalar(
@@ -617,6 +634,14 @@ def test_streaming_wcount_resume_from_batch_snapshot(spark, tmp_path):
     delta_seqs = {r["seq"] for r in delta_rows}
     exp = {k: v for k, v in exp_all.items() if k[1] in delta_seqs}
     assert got == exp
+    # seed-join path (distributed, no driver collect) resumes identically
+    got_sj = {
+        (r["entity"], r["seq"]): r["wcnt"]
+        for r in _drive(spark, tmp_path, "wc_sj", streaming_window_count(
+            stream_events(spark, src_delta), "click", (1, 3),
+            entity="item_id", seed=seed)).collect()
+    }
+    assert got_sj == exp
 
 
 def test_streaming_pool_resume_from_batch_snapshot(spark, tmp_path):
@@ -721,6 +746,12 @@ def test_streaming_pool_resume_from_batch_snapshot(spark, tmp_path):
 
     res = run(src_delta, "pres", st_init, fq_init, bl_init, mp_init)
     ful = run(src_full, "pful", None, None, None, None)
+    # one pool twin through the distributed seed-join path: identical
+    sj = _drive(spark, tmp_path, "psj_st", streaming_stats_pool(
+        stream_events(spark, src_delta), price, pool=5, entity="user_id",
+        seed=st_seed))
+    assert sorted(map(tuple, sj.collect())) == sorted(
+        map(tuple, res[0].collect()))
     delta_seqs = {r["seq"] for r in delta_rows}
     for got_df, exp_df, cols in zip(res, ful, [
         ("stat_min", "stat_max", "stat_avg", "stat_n"),
