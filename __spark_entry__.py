@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from metarank_spark import operators as ops
 from metarank_spark.functions import dedup as dd
 from metarank_spark.functions import similarity as sim
+from metarank_spark.functions import selection as sel
 from metarank_spark.functions import text as tx
 from metarank_spark.plans import asof_join, sessionize
 from metarank_spark.plans.sessionize import session_bounds
@@ -984,6 +985,30 @@ def q_keywords(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+IW_TARGET_SOURCES = ("src0", "src1")
+
+
+def q_importance_weight(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): per-document log
+    importance weight under hashed-bigram target/raw language models —
+    the target domain is the IW_TARGET_SOURCES subset, the raw LM the
+    whole corpus, both add-1 smoothed over 8192 buckets. High log_iw =
+    resample into the training set. The LM frames are ≤8192 rows at ANY
+    corpus size, so both joins are broadcasts; no windows anywhere."""
+    seq = tx.tokenized_sequences(spark, sf)
+    return sel.log_importance_weights(seq, IW_TARGET_SOURCES)
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced-mixture downsampling: deterministically Bernoulli-thin
+    every source to the token budget of the smallest source (doc-level,
+    integer-exact acceptance, functions/selection.doc_accept_expr) —
+    the source-rebalancing step before pre-training. One |sources|-row
+    aggregate + broadcast join + codegen filter."""
+    seq = tx.tokenized_sequences(spark, sf)
+    return sel.mixture_sample(seq)
+
+
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """int8-quantized ANN: symmetric per-vector scalar quantization
     (floor(x*127/max|x|)) + exact integer dot-product ranking — the 4x
@@ -1497,6 +1522,34 @@ _TEXT_ORACLES: dict[str, str] = {
         SELECT doc_id, kw_rank::BIGINT AS kw_rank, t::BIGINT AS token,
           tf::BIGINT AS tf, df::BIGINT AS df
         FROM r WHERE kw_rank <= 3""",
+    "importance_weight": f"""{SEQ},
+        big AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(tokens)),
+                    i -> ((tokens[i]::BIGINT * 131 + tokens[i+1]) % 8192)::INT
+                  )) AS h
+                FROM seq WHERE len(tokens) >= 2),
+        lm AS (SELECT h, count(*)::BIGINT AS cr,
+                 sum(CASE WHEN source IN ('src0', 'src1')
+                     THEN 1 ELSE 0 END)::BIGINT AS ct
+               FROM big GROUP BY h),
+        tt AS (SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt FROM lm),
+        w AS (SELECT h, ln((ct + 1) / (nt + 8192.0))
+                       - ln((cr + 1) / (nr + 8192.0)) AS w
+              FROM lm, tt)
+        SELECT big.doc_id, big.source, count(*)::BIGINT AS n_bigrams,
+          round(sum(w.w), 6) AS log_iw
+        FROM big JOIN w USING (h)
+        GROUP BY big.doc_id, big.source""",
+    "mixture_sample": f"""{SEQ},
+        s2 AS (SELECT doc_id, source, len(tokens)::INT AS n_tok FROM seq),
+        tot AS (SELECT source, sum(n_tok)::BIGINT AS toks
+                FROM s2 GROUP BY source),
+        mn AS (SELECT min(toks)::BIGINT AS mn FROM tot)
+        SELECT s2.doc_id, s2.source, s2.n_tok
+        FROM s2 JOIN tot USING (source), mn
+        WHERE ((s2.doc_id::BIGINT % 1000003) * 2654435761) % 10000
+                * tot.toks
+              < mn.mn * 10000""",
     "ann_quantized": """
         WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1557,6 +1610,8 @@ _TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized": q_ann_quantized,
     "lm_quality": q_lm_quality,
     "keywords": q_keywords,
+    "importance_weight": q_importance_weight,
+    "mixture_sample": q_mixture_sample,
 }
 
 
@@ -1924,6 +1979,16 @@ _ORACLES["interaction_count_salted"] = _ORACLES["interaction_count"]
 #                         the survivor pick is two grouped aggs on the
 #                         cluster frame — retired in round 5 to make
 #                         room for dedup_window, a NEW operator family)
+#   ann_lsh             ⊂ ANN family (4 registered variants; the LSH
+#                         banding scheme stays driver-checked through
+#                         dedup_embedding, and ann_ivf/ann_quantized
+#                         remain as the scale paths — retired to make
+#                         room for importance_weight, a NEW family)
+#   split_time          ⊂ split family (split_hold_last keeps the
+#                         driver slot: it exercises the harder
+#                         ranking-granularity cut; time split is a
+#                         single filter over the same frame — retired
+#                         to make room for mixture_sample, a NEW family)
 # They remain first-class locally: all_queries()/all_oracles() feed
 # tests/test_correctness.py and bench.py, so each still runs the full
 # DuckDB comparison every CI pass.
@@ -1932,7 +1997,7 @@ _RETIRED_ORACLES: dict[str, str] = {}
 for _rname in (
     "lag_lead", "window_count", "freq_share_sampled", "simhash",
     "source_stats", "stats_percentile", "interaction_count_salted",
-    "dedup_keep",
+    "dedup_keep", "ann_lsh", "split_time",
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)

@@ -1,0 +1,298 @@
+"""End-to-end training-corpus curation pipeline with per-stage lineage.
+
+The standard LLM data-curation DAG — tokenize → exact dedup → near dedup →
+quality filter → decontaminate → mixture balance → sequence pack — as one
+resumable job over the curation operators this repo already ships
+(functions/dedup.py, functions/text.py, functions/selection.py,
+plans/prefix.py). Mirrors jobs/backfill.py's checkpoint discipline
+(checkpoint.load_manifests / write_manifest): every stage writes parquet +
+a lineage manifest; a killed run rerun with the same args recomputes only
+the stages whose inputs or parameters changed.
+
+Lineage is CHAINED: stage i's fingerprint is
+``sha1(fingerprint(i-1) + params(i))``, so
+
+- editing a mid-pipeline threshold invalidates that stage and everything
+  downstream, never the (expensive) upstream stages;
+- deleting a stage's output directory forces exactly that stage to
+  recompute (load_manifests drops receipts whose data is gone), while
+  downstream stages — whose chained fingerprint doesn't change — resume
+  from their existing outputs.
+
+Scale notes: the only stage that carries document TEXT is tokenize; it
+derives tokens + per-doc quality/lang signals in one pass and drops the
+text, so every later stage moves ``array<int>`` payloads only. The
+repetition signal is computed per-row (sorted-bigram max-run fold — pure
+HOF, no explode/shuffle, exact same count as the q_rep_ngram aggregation).
+Each stage's plan is one of the already-gated shapes: hash-keyed window
+(exact dedup), capped LSH + label propagation (near dedup), codegen
+filter (quality), broadcast semi-join (decontaminate), broadcast-rate
+filter (mixture), salted two-pass prefix (pack)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metarank_spark.checkpoint import (
+    load_manifests,
+    require_local_output,
+    write_manifest,
+)
+from metarank_spark.functions import dedup as dd
+from metarank_spark.functions import selection as sel
+from metarank_spark.functions import text as tx
+
+# exact bigram encoding: token ids live in [0, 1_000_003), so
+# t1 * 1_000_003 + t2 is collision-free in int64
+_BG_ENC = tx.HASH_MOD
+
+
+def top_bigram_frac_expr(tokens: Column) -> Column:
+    """Gopher-style repetition signal per row: count(most frequent token
+    bigram) / count(bigrams), computed WITHOUT an explode — sort the
+    exactly-encoded bigram array and fold the max run length. Identical
+    value to the q_rep_ngram two-level aggregation, but stays inside
+    whole-stage codegen: no shuffle, no per-doc grouping."""
+    n = F.size(tokens)
+    bg = F.array_sort(
+        F.zip_with(
+            F.slice(tokens, 1, n - 1),
+            F.slice(tokens, 2, n - 1),
+            lambda a, b: a.cast("long") * _BG_ENC + b,
+        )
+    )
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    best = F.aggregate(
+        bg,
+        F.struct(
+            F.lit(-1).cast("long").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return best / F.nullif((n - 1).cast("double"), F.lit(0.0))
+
+
+@dataclass
+class CurateParams:
+    """Stage knobs. Every field participates in the stage fingerprints,
+    so changing one reruns exactly the affected suffix of the DAG."""
+
+    min_tokens: int = 5
+    min_quality: float = 0.0
+    max_rep: float = 1.0           # top-bigram fraction cap (1.0 = off)
+    langs: tuple[str, ...] = ()    # keep-list; empty = keep all
+    near_threshold: float = 0.1    # MinHash-LSH verify Jaccard
+    benchmark_ids: tuple[str, ...] = ()  # doc ids standing in for the eval set
+    mixture: bool = True           # balance sources to the smallest budget
+    pack_budget: int = 256         # tokens per packed training sequence
+    pack_chunk_docs: int = 512     # salted-prefix chunk for the pack stage
+
+
+def _docs_fingerprint(docs: DataFrame) -> str:
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col("doc_id").cast("string")) % 1_000_003).alias("h"),
+    ).collect()[0]
+    return f"n={row['n']};h={row['h']}"
+
+
+def _chain(prev_fp: str, name: str, params: dict) -> str:
+    raw = f"{prev_fp}|{name}|{json.dumps(params, sort_keys=True)}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
+def _stage_tokenize(seq: DataFrame, p: CurateParams) -> DataFrame:
+    # seq here is the raw documents frame; single pass derives tokens +
+    # quality/lang signals, then the text column is DROPPED — later
+    # stages move int arrays only
+    q = tx.quality_features("text")
+    toks = tx.token_ids_expr("text")
+    return seq.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+        q["quality_score"].alias("quality_score"),
+        tx.langid_expr("text").alias("lang"),
+    )
+
+
+def _stage_dedup_exact(seq: DataFrame, p: CurateParams) -> DataFrame:
+    return (
+        dd.exact_dedup(seq, F.col("tokens"))
+        .filter(~F.col("is_dup"))
+        .drop("dup_rank", "group_size", "is_dup")
+    )
+
+
+def _stage_dedup_near(seq: DataFrame, p: CurateParams) -> DataFrame:
+    pairs = dd.minhash_lsh_pairs(seq, threshold=p.near_threshold)
+    comp = dd.connected_components(pairs, seq.select("doc_id"))
+    survivors = comp.filter(~F.col("is_dup")).select("doc_id")
+    # leftsemi on the (small) survivor id set — never reshapes the payload
+    return seq.join(survivors, "doc_id", "leftsemi")
+
+
+def _stage_quality(seq: DataFrame, p: CurateParams) -> DataFrame:
+    keep = (F.col("n_tok") >= p.min_tokens) & (
+        F.col("quality_score") >= p.min_quality
+    )
+    if p.max_rep < 1.0:
+        keep = keep & (
+            F.coalesce(top_bigram_frac_expr(F.col("tokens")), F.lit(0.0))
+            <= p.max_rep
+        )
+    if p.langs:
+        keep = keep & F.col("lang").isin(*p.langs)
+    return seq.filter(keep)
+
+
+def _stage_decontaminate(seq: DataFrame, p: CurateParams) -> DataFrame:
+    if not p.benchmark_ids:
+        return seq
+    sh = seq.select("doc_id", dd.shingles_expr(F.col("tokens")).alias("sh"))
+    bench = (
+        sh.filter(F.col("doc_id").isin(*p.benchmark_ids))
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    hits = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench), "g", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    return seq.join(hits, "doc_id", "leftanti").filter(
+        ~F.col("doc_id").isin(*p.benchmark_ids)
+    )
+
+
+def _stage_mixture(seq: DataFrame, p: CurateParams) -> DataFrame:
+    if not p.mixture:
+        return seq
+    kept = sel.mixture_sample(seq).select("doc_id")
+    return seq.join(F.broadcast(kept), "doc_id", "leftsemi")
+
+
+def _stage_pack(seq: DataFrame, p: CurateParams) -> DataFrame:
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
+    packed = salted_cumulative_sum(
+        seq.withColumn("__ord", F.col("doc_id").cast("long")),
+        F.col("n_tok"),
+        entity="source",
+        order=("__ord", "doc_id"),
+        chunk_ms=p.pack_chunk_docs,
+        out="off",
+        strictly_before=True,
+    )
+    return packed.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.expr(f"off div {p.pack_budget}").cast("long").alias("seq_id"),
+        F.expr(f"off % {p.pack_budget}").cast("long").alias("seq_offset"),
+    )
+
+
+STAGES = (
+    ("tokenize", _stage_tokenize,
+     lambda p: {}),
+    ("dedup_exact", _stage_dedup_exact,
+     lambda p: {}),
+    ("dedup_near", _stage_dedup_near,
+     lambda p: {"threshold": p.near_threshold}),
+    ("quality", _stage_quality,
+     lambda p: {"min_tokens": p.min_tokens, "min_quality": p.min_quality,
+                "max_rep": p.max_rep, "langs": list(p.langs)}),
+    ("decontaminate", _stage_decontaminate,
+     lambda p: {"benchmark_ids": list(p.benchmark_ids)}),
+    ("mixture", _stage_mixture,
+     lambda p: {"mixture": p.mixture}),
+    ("pack", _stage_pack,
+     lambda p: {"budget": p.pack_budget, "chunk": p.pack_chunk_docs}),
+)
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    output: str,
+    params: CurateParams | None = None,
+) -> list[dict]:
+    """Run (or resume) the curation DAG. Returns one manifest dict per
+    stage — recomputed stages carry ``"resumed": False`` and fresh
+    metrics; skipped stages return their stored receipt with
+    ``"resumed": True``."""
+    p = params or CurateParams()
+    require_local_output(output)
+    fp = _docs_fingerprint(docs)
+    done = load_manifests(output)
+    out: list[dict] = []
+    cur: DataFrame | None = docs  # live frame; None = on disk at prev_path
+    prev_path: str | None = None
+    for name, fn, pf in STAGES:
+        fp = _chain(fp, name, pf(p))
+        rid = f"stage:{name}"
+        spath = os.path.join(output, name)
+        m = done.get(rid)
+        if m and m["input_fingerprint"] == fp:
+            out.append({**m, "resumed": True})
+            cur, prev_path = None, spath
+            continue
+        t0 = time.perf_counter()
+        src = cur if cur is not None else spark.read.parquet(prev_path)
+        res = fn(src, p)
+        res.write.mode("overwrite").parquet(spath)
+        back = spark.read.parquet(spath)
+        stats = back.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tok").alias("toks"),
+        ).collect()[0]
+        manifest = {
+            "range_id": rid,
+            "input_fingerprint": fp,
+            "rows": stats["rows"],
+            "tokens": stats["toks"],
+            "output": spath,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        write_manifest(output, manifest)
+        out.append({**manifest, "resumed": False})
+        cur, prev_path = back, spath
+    return out
+
+
+def summarize(manifests: list[dict]) -> dict:
+    """Per-run metrics line: docs/tokens surviving each stage + total
+    recompute wall (skipped stages cost nothing)."""
+    return {
+        "stages": [
+            {
+                "stage": m["range_id"].split(":", 1)[1],
+                "rows": m["rows"],
+                "tokens": m["tokens"],
+                "resumed": m["resumed"],
+                "wall_sec": 0.0 if m["resumed"] else m["wall_sec"],
+            }
+            for m in manifests
+        ],
+        "wall_sec": round(
+            sum(m["wall_sec"] for m in manifests if not m["resumed"]), 3
+        ),
+    }

@@ -1,0 +1,138 @@
+"""Curation pipeline job (operators/curate.py + jobs/curate.py):
+end-to-end run, chained-lineage resume, and the per-row repetition
+signal's equivalence to the aggregation form."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from metarank_spark.functions import text as tx
+from metarank_spark.operators.curate import (
+    CurateParams,
+    curate,
+    summarize,
+    top_bigram_frac_expr,
+)
+
+PARAMS = CurateParams(
+    min_tokens=3,
+    max_rep=0.9,
+    benchmark_ids=("0", "1"),
+    pack_budget=64,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+
+
+def _by_stage(ms):
+    return {m["range_id"].split(":", 1)[1]: m for m in ms}
+
+
+def test_top_bigram_frac_matches_aggregation(spark):
+    """The per-row sorted-run fold must equal the explode+groupBy count
+    (q_rep_ngram's semantics) on every real doc."""
+    seq = tx.tokenized_sequences(spark, SF_SMALL).filter(F.col("n_tok") >= 2)
+    got = {
+        r["doc_id"]: r["frac"]
+        for r in seq.select(
+            "doc_id", top_bigram_frac_expr(F.col("tokens")).alias("frac")
+        ).collect()
+    }
+    bg = seq.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tokens", 1, F.size("tokens") - 1),
+                F.slice("tokens", 2, F.size("tokens") - 1),
+                lambda a, b: a.cast("long") * 1_000_003 + b,
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("doc_id", "bg").count()
+    exp = {
+        r["doc_id"]: r["frac"]
+        for r in counts.groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("frac"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_curate_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    ms = curate(spark, _docs(spark), out, PARAMS)
+    st = _by_stage(ms)
+    assert list(st) == [
+        "tokenize", "dedup_exact", "dedup_near", "quality",
+        "decontaminate", "mixture", "pack",
+    ]
+    assert all(not m["resumed"] for m in ms)
+    # doc counts can only shrink along the filter stages; pack keeps rows
+    order = list(st)
+    for a, b in zip(order[:-1], order[1:]):
+        assert st[b]["rows"] <= st[a]["rows"], (a, b)
+    assert st["pack"]["rows"] == st["mixture"]["rows"]
+    assert st["pack"]["tokens"] == st["mixture"]["tokens"]
+    # benchmark stand-ins are gone after decontamination
+    dec = spark.read.parquet(os.path.join(out, "decontaminate"))
+    assert dec.filter(F.col("doc_id").isin("0", "1")).count() == 0
+    # packed output carries the assignment columns, budget respected
+    packed = spark.read.parquet(os.path.join(out, "pack"))
+    assert {"seq_id", "seq_offset"} <= set(packed.columns)
+    assert packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= PARAMS.pack_budget)
+    ).count() == 0
+    s = summarize(ms)
+    assert [x["stage"] for x in s["stages"]] == order
+    assert s["wall_sec"] > 0
+
+
+def test_curate_resume_is_noop_and_suffix_invalidation(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    first = curate(spark, _docs(spark), out, PARAMS)
+    again = curate(spark, _docs(spark), out, PARAMS)
+    assert all(m["resumed"] for m in again)
+    # identical receipts (minus the resume flag)
+    assert [
+        {k: v for k, v in m.items() if k != "resumed"} for m in again
+    ] == [{k: v for k, v in m.items() if k != "resumed"} for m in first]
+    # a mid-pipeline param change reruns exactly that stage + downstream
+    p2 = CurateParams(**{**PARAMS.__dict__, "max_rep": 0.5})
+    third = _by_stage(curate(spark, _docs(spark), out, p2))
+    assert third["tokenize"]["resumed"] and third["dedup_near"]["resumed"]
+    for s in ("quality", "decontaminate", "mixture", "pack"):
+        assert not third[s]["resumed"], s
+
+
+def test_curate_deleted_stage_recomputes_alone(spark, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "cur")
+    curate(spark, _docs(spark), out, PARAMS)
+    shutil.rmtree(os.path.join(out, "quality"))
+    ms = _by_stage(curate(spark, _docs(spark), out, PARAMS))
+    assert not ms["quality"]["resumed"]
+    for s in ("tokenize", "dedup_exact", "dedup_near",
+              "decontaminate", "mixture", "pack"):
+        assert ms[s]["resumed"], s
+
+
+def test_curate_cli(spark, tmp_path):
+    """jobs/curate.py drives the same pipeline through argparse (shares
+    the session via get_spark's singleton)."""
+    import jobs.curate as jc
+
+    out = str(tmp_path / "cli")
+    rc = jc.main([
+        "--documents", os.path.join(SF_SMALL, "documents.parquet"),
+        "--output", out,
+        "--min-tokens", "3", "--benchmark-ids", "0,1",
+        "--pack-budget", "64",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "pack"))
