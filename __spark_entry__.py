@@ -1009,6 +1009,14 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     return sel.mixture_sample(seq)
 
 
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The audit twin of mixture_sample: per-source totals, the
+    acceptance rate, and the kept doc/token counts — what the curation
+    job logs before committing a mixture. All frames |sources|-row."""
+    seq = tx.tokenized_sequences(spark, sf)
+    return sel.mixture_plan(seq)
+
+
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """int8-quantized ANN: symmetric per-vector scalar quantization
     (floor(x*127/max|x|)) + exact integer dot-product ranking — the 4x
@@ -2001,6 +2009,29 @@ for _rname in (
 ):
     _RETIRED[_rname] = _QUERIES.pop(_rname)
     _RETIRED_ORACLES[_rname] = _ORACLES.pop(_rname)
+
+# mixture_plan (round 5) was BORN local-only: mixture_sample holds the
+# family's driver slot; the plan/audit twin keeps its full DuckDB
+# comparison via all_queries().
+_RETIRED["mixture_plan"] = q_mixture_plan
+_RETIRED_ORACLES["mixture_plan"] = f"""{SEQ},
+    s2 AS (SELECT doc_id, source, len(tokens)::INT AS n_tok FROM seq),
+    tot AS (SELECT source, count(*)::BIGINT AS docs,
+              sum(n_tok)::BIGINT AS toks
+            FROM s2 GROUP BY source),
+    mn AS (SELECT min(toks)::BIGINT AS mn FROM tot),
+    kept AS (SELECT s2.source, count(*)::BIGINT AS kept_docs,
+               sum(s2.n_tok)::BIGINT AS kept_toks
+             FROM s2 JOIN tot USING (source), mn
+             WHERE ((s2.doc_id::BIGINT % 1000003) * 2654435761) % 10000
+                     * tot.toks
+                   < mn.mn * 10000
+             GROUP BY s2.source)
+    SELECT tot.source, tot.docs, tot.toks, mn.mn AS budget_toks,
+      round(least(1.0, mn.mn::DOUBLE / tot.toks), 6) AS rate,
+      coalesce(kept.kept_docs, 0)::BIGINT AS kept_docs,
+      coalesce(kept.kept_toks, 0)::BIGINT AS kept_toks
+    FROM tot LEFT JOIN kept USING (source), mn"""
 
 # rank_krr (round 5) was BORN local-only: the driver registry is at its
 # 50-query cap, and rank_eval already holds the eval family's driver

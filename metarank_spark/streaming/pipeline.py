@@ -820,3 +820,59 @@ def streaming_clickthrough_expiry(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming curation: first-sight exact dedup
+# --------------------------------------------------------------------------
+
+DEDUP_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("is_dup", T.BooleanType()),
+    ]
+)
+DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _make_dedup_fn():
+    def fn(key, pdfs, state: GroupState):
+        """First-arrival-wins exact dedup per content-hash group: the
+        first doc carrying this hash survives; every later one is a dup.
+        State is ONE boolean per distinct content — the minimum possible
+        streaming-dedup footprint (batch dedup of the same corpus holds
+        the same cardinality as a shuffle instead)."""
+        seen = state.exists
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")  # batch-internal tiebreak
+            flags = []
+            for _ in range(len(pdf)):
+                flags.append(seen)
+                seen = True
+            out.append(pd.DataFrame({"doc_id": pdf["doc_id"], "is_dup": flags}))
+        state.update((True,))
+        return iter(out)
+
+    return fn
+
+
+def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact-dedup streaming twin (functions/dedup.exact_dedup): mark
+    every later arrival of an already-seen token sequence as a duplicate.
+    The group key is xxhash64(tokens) — the same 8-byte shuffle key as
+    the batch path, so megabyte payloads never ride an exchange. The
+    SURVIVOR is first-arrival (batch picks min doc_id); on an
+    arrival-ordered stream the two coincide, which the equality test
+    pins. State per distinct content: one boolean."""
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.xxhash64("tokens").alias("__kh"),
+    )
+    return src.groupBy("__kh").applyInPandasWithState(
+        _make_dedup_fn(),
+        outputStructType=DEDUP_OUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -762,3 +762,48 @@ def test_streaming_pool_resume_from_batch_snapshot(spark, tmp_path):
         exp = {(r["entity"], r["seq"]): tuple(r[c] for c in cols)
                for r in exp_df.collect() if r["seq"] in delta_seqs}
         assert got == exp
+
+
+def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
+    """Curation streaming twin: first-sight exact dedup over a doc
+    stream equals batch exact_dedup on an arrival-ordered corpus, and a
+    SECOND availableNow run on the same checkpoint flags every replayed
+    document as a duplicate — the state survives across runs."""
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.functions import text as tx
+    from metarank_spark.streaming.pipeline import streaming_dedup_exact
+
+    from conftest import SF_SMALL
+
+    seq = tx.tokenized_sequences(spark, SF_SMALL).select("doc_id", "tokens")
+    # plant an in-corpus exact duplicate that sorts AFTER its original
+    clone = seq.orderBy("doc_id").limit(1).withColumn(
+        "doc_id", F.concat(F.lit("zz"), F.col("doc_id")))
+    corpus = seq.unionByName(clone)
+    src = str(tmp_path / "docs_dd")
+    corpus.orderBy("doc_id").coalesce(1).write.parquet(src)
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id string, tokens array<int>")
+                .option("maxFilesPerTrigger", 16).parquet(src))
+
+    got = {r["doc_id"]: r["is_dup"]
+           for r in _drive(spark, tmp_path, "dd",
+                           streaming_dedup_exact(stream())).collect()}
+    exp = {r["doc_id"]: r["is_dup"]
+           for r in dd.exact_dedup(corpus, F.col("tokens"))
+           .select("doc_id", "is_dup").collect()}
+    assert got == exp
+    assert got[next(k for k in got if k.startswith("zz"))] is True
+
+    # replay 5 docs under fresh ids in a new file: resumed state marks
+    # every one a dup
+    replay = seq.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.concat(F.lit("replay"), F.col("doc_id")))
+    replay.coalesce(1).write.mode("append").parquet(src)
+    got2 = {r["doc_id"]: r["is_dup"]
+            for r in _drive(spark, tmp_path, "dd",
+                            streaming_dedup_exact(stream())).collect()}
+    news = {k: v for k, v in got2.items() if k.startswith("replay")}
+    assert len(news) == 5 and all(news.values())
