@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
                          "benchmark/eval set to decontaminate against")
     ap.add_argument("--no-mixture", action="store_true",
                     help="skip balanced-mixture downsampling")
+    ap.add_argument("--target-sources", default="",
+                    help="comma-separated DSIR target-domain sources; "
+                         "with --importance-keep < 1 adds an importance-"
+                         "resampling stage (functions/selection.py)")
+    ap.add_argument("--importance-keep", type=float, default=1.0,
+                    help="fraction of docs kept by log importance weight")
     ap.add_argument("--pack-budget", type=int, default=256,
                     help="tokens per packed training sequence")
     ap.add_argument("--cpus", type=int, default=None,
@@ -54,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
         near_threshold=args.near_threshold,
         benchmark_ids=tuple(s for s in args.benchmark_ids.split(",") if s),
         mixture=not args.no_mixture,
+        target_sources=tuple(s for s in args.target_sources.split(",") if s),
+        importance_keep=args.importance_keep,
         pack_budget=args.pack_budget,
     )
     manifests = curate(spark, docs, args.output, p)

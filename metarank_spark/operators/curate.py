@@ -101,6 +101,8 @@ class CurateParams:
     near_threshold: float = 0.1    # MinHash-LSH verify Jaccard
     benchmark_ids: tuple[str, ...] = ()  # doc ids standing in for the eval set
     mixture: bool = True           # balance sources to the smallest budget
+    target_sources: tuple[str, ...] = ()  # DSIR target domain ((): skip)
+    importance_keep: float = 1.0   # fraction kept by log_iw (1.0 = off)
     pack_budget: int = 256         # tokens per packed training sequence
     pack_chunk_docs: int = 512     # salted-prefix chunk for the pack stage
 
@@ -184,6 +186,26 @@ def _stage_decontaminate(seq: DataFrame, p: CurateParams) -> DataFrame:
     )
 
 
+def _stage_importance(seq: DataFrame, p: CurateParams) -> DataFrame:
+    """DSIR importance resampling (functions/selection.py): keep the
+    top ``importance_keep`` fraction of docs by log importance weight
+    under the ``target_sources`` domain. The cutoff is the exact
+    percentile of log_iw — one scalar to the driver; at petabyte scale
+    swap for percentile_approx (the cutoff is a knob, not a contract).
+    Docs with <2 tokens carry no bigram evidence and pass through."""
+    if not p.target_sources or p.importance_keep >= 1.0:
+        return seq
+    iw = sel.log_importance_weights(seq, p.target_sources)
+    thr = iw.agg(
+        F.expr(f"percentile(log_iw, {1.0 - p.importance_keep})")
+    ).collect()[0][0]
+    return (
+        seq.join(iw.select("doc_id", "log_iw"), "doc_id", "left")
+        .filter(F.col("log_iw").isNull() | (F.col("log_iw") >= thr))
+        .drop("log_iw")
+    )
+
+
 def _stage_mixture(seq: DataFrame, p: CurateParams) -> DataFrame:
     if not p.mixture:
         return seq
@@ -222,6 +244,9 @@ STAGES = (
                 "max_rep": p.max_rep, "langs": list(p.langs)}),
     ("decontaminate", _stage_decontaminate,
      lambda p: {"benchmark_ids": list(p.benchmark_ids)}),
+    ("importance", _stage_importance,
+     lambda p: {"targets": list(p.target_sources),
+                "keep": p.importance_keep}),
     ("mixture", _stage_mixture,
      lambda p: {"mixture": p.mixture}),
     ("pack", _stage_pack,

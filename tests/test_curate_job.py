@@ -69,7 +69,7 @@ def test_curate_end_to_end(spark, tmp_path):
     st = _by_stage(ms)
     assert list(st) == [
         "tokenize", "dedup_exact", "dedup_near", "quality",
-        "decontaminate", "mixture", "pack",
+        "decontaminate", "importance", "mixture", "pack",
     ]
     assert all(not m["resumed"] for m in ms)
     # doc counts can only shrink along the filter stages; pack keeps rows
@@ -105,7 +105,7 @@ def test_curate_resume_is_noop_and_suffix_invalidation(spark, tmp_path):
     p2 = CurateParams(**{**PARAMS.__dict__, "max_rep": 0.5})
     third = _by_stage(curate(spark, _docs(spark), out, p2))
     assert third["tokenize"]["resumed"] and third["dedup_near"]["resumed"]
-    for s in ("quality", "decontaminate", "mixture", "pack"):
+    for s in ("quality", "decontaminate", "importance", "mixture", "pack"):
         assert not third[s]["resumed"], s
 
 
@@ -118,8 +118,32 @@ def test_curate_deleted_stage_recomputes_alone(spark, tmp_path):
     ms = _by_stage(curate(spark, _docs(spark), out, PARAMS))
     assert not ms["quality"]["resumed"]
     for s in ("tokenize", "dedup_exact", "dedup_near",
-              "decontaminate", "mixture", "pack"):
+              "decontaminate", "importance", "mixture", "pack"):
         assert ms[s]["resumed"], s
+
+
+def test_curate_importance_stage(spark, tmp_path):
+    """With a target domain and keep<1, the importance stage thins to
+    ~the requested fraction and every kept doc clears the cutoff."""
+    from metarank_spark.functions import selection as sel
+    from metarank_spark.functions import text as tx
+
+    p = CurateParams(**{**PARAMS.__dict__,
+                        "target_sources": ("src0", "src1"),
+                        "importance_keep": 0.5})
+    out = str(tmp_path / "cur_iw")
+    st = _by_stage(curate(spark, _docs(spark), out, p))
+    n_in, n_out = st["decontaminate"]["rows"], st["importance"]["rows"]
+    assert n_out < n_in
+    assert abs(n_out - 0.5 * n_in) <= max(3, 0.05 * n_in)
+    kept = spark.read.parquet(os.path.join(out, "importance"))
+    dec = spark.read.parquet(os.path.join(out, "decontaminate"))
+    iw = sel.log_importance_weights(dec, p.target_sources)
+    scores = {r["doc_id"]: r["log_iw"] for r in iw.collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    dropped = set(scores) - kept_ids
+    if dropped and (kept_scores := [scores[d] for d in kept_ids if d in scores]):
+        assert min(kept_scores) >= max(scores[d] for d in dropped)
 
 
 def test_curate_cli(spark, tmp_path):
