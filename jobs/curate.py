@@ -43,11 +43,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="fraction of docs kept by log importance weight")
     ap.add_argument("--pack-budget", type=int, default=256,
                     help="tokens per packed training sequence")
+    ap.add_argument("--publish-state", action="store_true",
+                    help="after the run, publish the frozen-history "
+                         "state tables later --delta runs dedup against")
+    ap.add_argument("--delta", action="store_true",
+                    help="treat --documents as a crawl DELTA: curate it "
+                         "against the frozen state at --output (O(delta), "
+                         "history never rescanned) and fold the "
+                         "survivors into the state")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] when not on a cluster")
     args = ap.parse_args(argv)
 
-    from metarank_spark.operators.curate import CurateParams, curate, summarize
+    from metarank_spark.operators.curate import (
+        CurateParams,
+        curate,
+        curate_delta,
+        publish_state,
+        summarize,
+    )
     from metarank_spark.session import get_spark
 
     spark = get_spark("metarank-curate", parallelism=args.cpus)
@@ -64,7 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         importance_keep=args.importance_keep,
         pack_budget=args.pack_budget,
     )
-    manifests = curate(spark, docs, args.output, p)
+    if args.delta:
+        manifests = curate_delta(spark, docs, args.output, p)
+    else:
+        manifests = curate(spark, docs, args.output, p)
+        if args.publish_state:
+            publish_state(spark, args.output, p)
     for m in manifests:
         print(json.dumps(m))
     print(json.dumps(summarize(manifests)))

@@ -87,6 +87,36 @@ def minhash_signature(tokens: Column) -> list[Column]:
     ]
 
 
+def band_table(df: DataFrame, tokens: str = "tokens",
+               id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, band)`` LSH band keys per document — the shareable half
+    of minhash_lsh_pairs, for CROSS-corpus candidate joins (a new crawl
+    delta probing a stored history band table). Same signature family and
+    band layout as the self-join path, so a delta×history join on
+    ``band`` surfaces exactly the candidates the batch self-join would.
+    Docs with no shingles (<3 tokens) emit no bands."""
+    sigs = minhash_signature(F.col(tokens))
+    n_bands = MINHASH_K // BAND_ROWS
+    sig_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles_expr(F.col(tokens))).alias("__nsh"),
+        *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
+    )
+    bands = [
+        F.concat_ws(
+            "_",
+            F.lit(bi),
+            *[F.col(f"__m{bi * BAND_ROWS + r}").cast("string")
+              for r in range(BAND_ROWS)],
+        )
+        for bi in range(n_bands)
+    ]
+    return (
+        sig_df.filter(F.col("__nsh") > 0)
+        .select("doc_id", F.explode(F.array(*bands)).alias("band"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     tokens: str = "tokens",

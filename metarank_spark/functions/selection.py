@@ -73,6 +73,50 @@ def doc_accept_expr(doc_id: Column, toks_src: Column, min_toks: Column,
     return h * toks_src.cast("long") < min_toks.cast("long") * m
 
 
+def bigram_lm_weights(
+    seq: DataFrame,
+    target_sources: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
+) -> tuple[DataFrame, Column]:
+    """The DSIR language-model core: per-bucket log ratio weights
+    ``(h, w)`` (≤n_buckets rows — broadcastable at any corpus size) plus
+    the default weight of a bucket NEVER seen in the estimation corpus
+    (``ln((Nr+B)/(Nt+B))`` — what add-1 smoothing assigns to count-0/
+    count-0), needed when a FROZEN LM scores later deltas containing new
+    buckets. The frame is localCheckpointed: totals and weights both
+    derive from it, and without the barrier Catalyst re-expands the
+    corpus scan under each consumer (measured: 5 scans of the tokenize
+    chain instead of the algorithm's minimum 2)."""
+    big = (
+        seq.filter(F.size("tokens") >= 2)
+        .select(
+            "source",
+            F.explode(bigram_hash_expr(F.col("tokens"), n_buckets)).alias("h"),
+        )
+    )
+    is_t = F.col("source").isin(*target_sources)
+    lm = big.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+    ).localCheckpoint(eager=True)
+    totals = lm.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
+    )
+    b = float(n_buckets)
+    w = lm.crossJoin(F.broadcast(totals)).select(
+        "h",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + b))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + b))
+        ).alias("w"),
+    )
+    default_w = totals.select(
+        F.log((F.col("nr") + b) / (F.col("nt") + b)).alias("w")
+    )
+    return w, default_w
+
+
 def log_importance_weights(
     seq: DataFrame,
     target_sources: tuple[str, ...],
@@ -93,37 +137,15 @@ def log_importance_weights(
     log_iw rounded (sum order differs per engine).
 
     Plan: one explode, two bounded hash aggs (≤B rows each), one 1-row
-    total, one broadcast join, one per-doc agg."""
+    total, one broadcast join, one per-doc agg (two corpus scans total —
+    estimate, then score; see bigram_lm_weights)."""
+    w, _ = bigram_lm_weights(seq, target_sources, n_buckets)
     big = (
         seq.filter(F.size("tokens") >= 2)
         .select(
             "doc_id", "source",
             F.explode(bigram_hash_expr(F.col("tokens"), n_buckets)).alias("h"),
         )
-    )
-    # corpus + target bigram counts per bucket, fused into one pass:
-    # conditional agg avoids scanning the stream twice
-    is_t = F.col("source").isin(*target_sources)
-    lm = big.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-    )
-    # materialize the ≤B-row LM frame: totals and w both derive from it,
-    # and without the barrier Catalyst re-expands the corpus scan under
-    # each consumer (3 scans of the tokenize chain instead of the
-    # algorithm's minimum 2 — one to build the LM, one to score docs)
-    lm = lm.localCheckpoint(eager=True)
-    totals = lm.agg(
-        F.sum("cr").cast("double").alias("nr"),
-        F.sum("ct").cast("double").alias("nt"),
-    )
-    b = float(n_buckets)
-    w = lm.crossJoin(F.broadcast(totals)).select(
-        "h",
-        (
-            F.log((F.col("ct") + 1) / (F.col("nt") + b))
-            - F.log((F.col("cr") + 1) / (F.col("nr") + b))
-        ).alias("w"),
     )
     return (
         big.join(F.broadcast(w), "h")

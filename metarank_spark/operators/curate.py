@@ -37,7 +37,7 @@ import os
 import time
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metarank_spark.checkpoint import (
@@ -309,7 +309,7 @@ def summarize(manifests: list[dict]) -> dict:
     return {
         "stages": [
             {
-                "stage": m["range_id"].split(":", 1)[1],
+                "stage": m["range_id"].rsplit(":", 1)[-1],
                 "rows": m["rows"],
                 "tokens": m["tokens"],
                 "resumed": m["resumed"],
@@ -321,3 +321,300 @@ def summarize(manifests: list[dict]) -> dict:
             sum(m["wall_sec"] for m in manifests if not m["resumed"]), 3
         ),
     }
+
+
+# --------------------------------------------------------------------------
+# delta curation — frozen-history incremental runs
+# --------------------------------------------------------------------------
+#
+# Production corpora arrive as daily crawl deltas; re-curating the union
+# rescans all of history every day. The delta path freezes history the way
+# operators/incremental.py freezes feature state: a base run publishes a
+# bounded STATE (content-hash set, LSH band table + token payloads of the
+# exact-surviving docs, frozen mixture rates, frozen importance LM +
+# cutoff, per-source pack offsets), and each delta run curates only the
+# new docs against that state — O(delta) work, history never rescanned.
+#
+# Frozen-history semantics (documented, deliberate): past keep/drop
+# decisions are immutable. A delta doc is dropped when it is an exact or
+# verified near duplicate of ANY previously seen exact-surviving doc or of
+# an earlier delta survivor; batch re-curation of the union could instead
+# merge two old clusters through a new bridge doc and retroactively change
+# an old survivor — the delta path never rewrites history. With mixture
+# frozen (or off) and no bridge merges, delta-then-base equals the batch
+# run of the union (pinned on the real corpus in test_curate_job.py).
+#
+# State layout: every publish writes its OWN partition directory
+# (_state/<table>/delta=<fp8>/), so a killed state publish rerun
+# overwrites its partition instead of double-appending — idempotent.
+
+STATE_DIR = "_state"
+
+
+def _state_tbl(output: str, name: str) -> str:
+    return os.path.join(output, STATE_DIR, name)
+
+
+def _publish(df: DataFrame, output: str, name: str, tag: str) -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(_state_tbl(output, name), f"delta={tag}"))
+
+
+def _read_state(spark: SparkSession, output: str, name: str,
+                cols: list[str]) -> DataFrame:
+    return spark.read.parquet(_state_tbl(output, name)).select(*cols)
+
+
+def publish_state(spark: SparkSession, output: str,
+                  p: CurateParams, tag: str = "base") -> None:
+    """Derive the frozen-history state from a completed curate() run's
+    stage outputs. Bounded: hashes/bands are O(docs), the LM is ≤8192
+    rows, rates/offsets are |sources|-row."""
+    exact = spark.read.parquet(os.path.join(output, "dedup_exact"))
+    _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
+             output, "exact_hashes", tag)
+    _publish(dd.band_table(exact), output, "near_bands", tag)
+    _publish(exact.select("doc_id", "tokens"), output, "near_docs", tag)
+    mix_in = spark.read.parquet(os.path.join(
+        output, "importance" if os.path.isdir(os.path.join(output, "importance"))
+        else "decontaminate"))
+    tot = mix_in.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("toks"))
+    mn = tot.agg(F.min("toks").alias("mn")).collect()[0]["mn"]
+    _publish(tot.withColumn("mn", F.lit(mn).cast("long")),
+             output, "mixture_rates", tag)
+    packed = spark.read.parquet(os.path.join(output, "pack"))
+    _publish(
+        packed.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("toks_added")),
+        output, "pack_offsets", tag)
+    if p.target_sources and p.importance_keep < 1.0:
+        dec = spark.read.parquet(os.path.join(output, "decontaminate"))
+        w, default_w = sel.bigram_lm_weights(dec, p.target_sources)
+        iw = sel.log_importance_weights(dec, p.target_sources)
+        thr = iw.agg(F.expr(
+            f"percentile(log_iw, {1.0 - p.importance_keep})")).collect()[0][0]
+        _publish(w, output, "iw_weights", tag)
+        with open(os.path.join(output, STATE_DIR, "iw_meta.json"), "w") as fh:
+            json.dump({"threshold": thr,
+                       "default_w": default_w.collect()[0]["w"],
+                       "targets": list(p.target_sources)}, fh)
+
+
+def _delta_dedup_exact(spark, seq, output, p):
+    within = (
+        dd.exact_dedup(seq, F.col("tokens"))
+        .filter(~F.col("is_dup"))
+        .drop("dup_rank", "group_size", "is_dup")
+    )
+    hist = _read_state(spark, output, "exact_hashes", ["kh"])
+    return (
+        within.withColumn("__kh", F.xxhash64("tokens"))
+        .join(hist, F.col("__kh") == hist["kh"], "leftanti")
+        .drop("__kh")
+    )
+
+
+def _delta_dedup_near(spark, seq, output, p, max_bucket: int = 20):
+    # within-delta candidate pairs (verified) + cross history pairs
+    pairs_d = dd.minhash_lsh_pairs(seq, threshold=p.near_threshold)
+    db = dd.band_table(seq)
+    hb = _read_state(spark, output, "near_bands", ["doc_id", "band"])
+    cap = lambda t: (  # noqa: E731 — per-side mega-bucket cap, as batch
+        t.withColumn("__bn", F.count(F.lit(1)).over(
+            Window.partitionBy("band")))
+        .filter(F.col("__bn") <= max_bucket).drop("__bn")
+    )
+    cand = (
+        cap(db).withColumnRenamed("doc_id", "id_b")
+        .join(cap(hb).withColumnRenamed("doc_id", "id_a"), "band")
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    )
+    hist_sh = _read_state(spark, output, "near_docs", ["doc_id", "tokens"]) \
+        .select(F.col("doc_id").alias("id_a"),
+                dd.shingles_expr(F.col("tokens")).alias("sh_a"))
+    delta_sh = seq.select(F.col("doc_id").alias("id_b"),
+                          dd.shingles_expr(F.col("tokens")).alias("sh_b"))
+    pairs_x = (
+        cand.join(hist_sh, "id_a").join(delta_sh, "id_b")
+        .withColumn("jaccard",
+                    F.round(dd.jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= p.near_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    pairs = pairs_d.unionByName(pairs_x)
+    hist_nodes = pairs_x.select(F.col("id_a").alias("doc_id")).distinct()
+    nodes = seq.select("doc_id").unionByName(hist_nodes)
+    comp = dd.connected_components(pairs, nodes)
+    # a delta doc survives iff its cluster holds no history doc and it is
+    # the cluster's canonical (min-id) member
+    hist_clusters = (
+        comp.join(hist_nodes, "doc_id", "leftsemi")
+        .select("cluster_id").distinct()
+    )
+    survivors = (
+        comp.filter(~F.col("is_dup"))
+        .join(hist_clusters, "cluster_id", "leftanti")
+        .select("doc_id")
+    )
+    return seq.join(survivors, "doc_id", "leftsemi")
+
+
+def _delta_importance(spark, seq, output, p):
+    if not p.target_sources or p.importance_keep >= 1.0:
+        return seq
+    meta_p = os.path.join(output, STATE_DIR, "iw_meta.json")
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    if tuple(meta["targets"]) != tuple(p.target_sources):
+        raise ValueError(
+            f"frozen importance LM was built for targets {meta['targets']}, "
+            f"delta asked for {list(p.target_sources)} — republish state")
+    # frozen LM: score delta docs with the BASE run's per-bucket weights,
+    # frozen cutoff; a bucket the base corpus never saw takes the add-1
+    # smoothed count-0/count-0 weight (meta default_w), not 0
+    w = _read_state(spark, output, "iw_weights", ["h", "w"])
+    big = seq.filter(F.size("tokens") >= 2).select(
+        "doc_id", F.explode(sel.bigram_hash_expr(F.col("tokens"))).alias("h"))
+    iw = (
+        big.join(F.broadcast(w), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(
+            F.col("w"), F.lit(meta["default_w"]))).alias("log_iw"))
+    )
+    return (
+        seq.join(iw, "doc_id", "left")
+        .filter(F.col("log_iw").isNull()
+                | (F.col("log_iw") >= meta["threshold"]))
+        .drop("log_iw")
+    )
+
+
+def _delta_mixture(spark, seq, output, p):
+    if not p.mixture:
+        return seq
+    rates = _read_state(spark, output, "mixture_rates",
+                        ["source", "toks", "mn"])
+    j = seq.join(F.broadcast(rates), "source", "left")
+    keep = (
+        F.col("toks").isNull()  # source unseen at base time → keep all
+        | sel.doc_accept_expr(F.col("doc_id"), F.col("toks"), F.col("mn"))
+    )
+    return j.filter(keep).drop("toks", "mn")
+
+
+def _delta_pack(spark, seq, output, p):
+    from metarank_spark.plans.prefix import salted_cumulative_sum
+
+    base = (
+        _read_state(spark, output, "pack_offsets", ["source", "toks_added"])
+        .groupBy("source")
+        .agg(F.sum("toks_added").cast("long").alias("base_off"))
+    )
+    packed = salted_cumulative_sum(
+        seq.withColumn("__ord", F.col("doc_id").cast("long")),
+        F.col("n_tok"),
+        entity="source",
+        order=("__ord", "doc_id"),
+        chunk_ms=p.pack_chunk_docs,
+        out="off",
+        strictly_before=True,
+    ).join(F.broadcast(base), "source", "left").withColumn(
+        "off", F.col("off") + F.coalesce(F.col("base_off"), F.lit(0)))
+    return packed.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.expr(f"off div {p.pack_budget}").cast("long").alias("seq_id"),
+        F.expr(f"off % {p.pack_budget}").cast("long").alias("seq_offset"),
+    )
+
+
+DELTA_STAGES = (
+    ("tokenize", lambda sp, s, o, p: _stage_tokenize(s, p),
+     lambda p: {}),
+    ("dedup_exact", _delta_dedup_exact,
+     lambda p: {}),
+    ("dedup_near", _delta_dedup_near,
+     lambda p: {"threshold": p.near_threshold}),
+    ("quality", lambda sp, s, o, p: _stage_quality(s, p),
+     lambda p: {"min_tokens": p.min_tokens, "min_quality": p.min_quality,
+                "max_rep": p.max_rep, "langs": list(p.langs)}),
+    ("decontaminate", lambda sp, s, o, p: _stage_decontaminate(s, p),
+     lambda p: {"benchmark_ids": list(p.benchmark_ids)}),
+    ("importance", _delta_importance,
+     lambda p: {"targets": list(p.target_sources),
+                "keep": p.importance_keep}),
+    ("mixture", _delta_mixture,
+     lambda p: {"mixture": p.mixture}),
+    ("pack", _delta_pack,
+     lambda p: {"budget": p.pack_budget, "chunk": p.pack_chunk_docs}),
+)
+
+
+def curate_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    output: str,
+    params: CurateParams | None = None,
+) -> list[dict]:
+    """Curate a crawl DELTA against the frozen state of a prior
+    curate()+publish_state() run at ``output``. O(delta) — history is
+    probed through its bounded state tables, never rescanned. Outputs
+    land under ``<output>/deltas/<fp8>/<stage>/``; on success the state
+    tables gain this delta's partition so the NEXT delta dedups against
+    it too. Same manifest resume discipline as curate(), keyed per
+    delta."""
+    p = params or CurateParams()
+    require_local_output(output)
+    if not os.path.isdir(os.path.join(output, STATE_DIR)):
+        raise ValueError(
+            f"no curation state under {output} — run curate() then "
+            "publish_state() first")
+    fp = _docs_fingerprint(new_docs)
+    tag = hashlib.sha1(fp.encode()).hexdigest()[:8]
+    base_out = os.path.join(output, "deltas", tag)
+    done = load_manifests(output)
+    out: list[dict] = []
+    cur: DataFrame | None = new_docs
+    prev_path: str | None = None
+    for name, fn, pf in DELTA_STAGES:
+        fp = _chain(fp, name, pf(p))
+        rid = f"delta:{tag}:{name}"
+        spath = os.path.join(base_out, name)
+        m = done.get(rid)
+        if m and m["input_fingerprint"] == fp:
+            out.append({**m, "resumed": True})
+            cur, prev_path = None, spath
+            continue
+        t0 = time.perf_counter()
+        src = cur if cur is not None else spark.read.parquet(prev_path)
+        res = fn(spark, src, output, p)
+        res.write.mode("overwrite").parquet(spath)
+        back = spark.read.parquet(spath)
+        stats = back.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tok").alias("toks"),
+        ).collect()[0]
+        manifest = {
+            "range_id": rid,
+            "input_fingerprint": fp,
+            "rows": stats["rows"],
+            "tokens": stats["toks"],
+            "output": spath,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+        write_manifest(output, manifest)
+        out.append({**manifest, "resumed": False})
+        cur, prev_path = back, spath
+    # fold this delta into the frozen state (idempotent: per-delta
+    # partition dirs, overwrite mode)
+    exact = spark.read.parquet(os.path.join(base_out, "dedup_exact"))
+    _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
+             output, "exact_hashes", tag)
+    _publish(dd.band_table(exact), output, "near_bands", tag)
+    _publish(exact.select("doc_id", "tokens"), output, "near_docs", tag)
+    packed = spark.read.parquet(os.path.join(base_out, "pack"))
+    _publish(
+        packed.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("toks_added")),
+        output, "pack_offsets", tag)
+    return out

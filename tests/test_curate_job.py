@@ -30,7 +30,7 @@ def _docs(spark):
 
 
 def _by_stage(ms):
-    return {m["range_id"].split(":", 1)[1]: m for m in ms}
+    return {m["range_id"].rsplit(":", 1)[-1]: m for m in ms}
 
 
 def test_top_bigram_frac_matches_aggregation(spark):
@@ -160,3 +160,119 @@ def test_curate_cli(spark, tmp_path):
     ])
     assert rc == 0
     assert os.path.isdir(os.path.join(out, "pack"))
+
+
+def _raw(spark, rows):
+    """(doc_id, text, source) raw docs frame."""
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+DELTA_P = CurateParams(min_tokens=3, near_threshold=0.5, mixture=False,
+                       pack_budget=64)
+
+
+def test_curate_delta_dedups_against_frozen_history(spark, tmp_path):
+    from metarank_spark.operators.curate import curate_delta, publish_state
+
+    out = str(tmp_path / "inc")
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    base = _raw(spark, [
+        (1, w, "src0"),
+        (2, w, "src0"),                                # within-base exact dup
+        (3, "kilo lima mike november oscar papa quebec romeo sierra tango",
+         "src0"),
+    ])
+    curate(spark, base, out, DELTA_P)
+    publish_state(spark, out, DELTA_P)
+
+    near_of_3 = ("kilo lima mike november oscar papa quebec romeo sierra "
+                 "uniform")  # 1 word off doc 3 → Jaccard ≈ 0.78
+    delta = _raw(spark, [
+        (10, w, "src0"),           # exact dup of history doc 1 → drop
+        (11, near_of_3, "src0"),   # near-dup of history doc 3 → drop
+        (12, "victor whiskey xray yankee zulu one two three", "src0"),
+        (13, "victor whiskey xray yankee zulu one two three", "src0"),
+        # exact dup of 12 within the delta → drop
+    ])
+    ms = _by_stage(curate_delta(spark, delta, out, DELTA_P))
+    kept = spark.read.parquet(ms["pack"]["output"])
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {"12"}
+
+    # a SECOND delta dedups against the first delta's survivors too, and
+    # pack offsets continue across history
+    delta2 = _raw(spark, [
+        (20, "victor whiskey xray yankee zulu one two four", "src0"),
+        # near-dup of delta-1 survivor 12 (7/9 shingles) → drop
+        (21, "gamma beta epsilon zeta eta theta iota kappa", "src0"),
+    ])
+    ms2 = _by_stage(curate_delta(spark, delta2, out, DELTA_P))
+    kept2 = spark.read.parquet(ms2["pack"]["output"]).collect()
+    assert {r["doc_id"] for r in kept2} == {"21"}
+    # src0 history tokens: doc1(10) + doc3(10) from base, doc12(8) from
+    # delta 1 → doc 21 starts at offset 28
+    (r21,) = kept2
+    assert r21["seq_id"] * DELTA_P.pack_budget + r21["seq_offset"] == 28
+
+
+def test_curate_delta_equals_batch_union(spark, tmp_path):
+    """With mixture off and no near-dup cluster straddling the split,
+    base+delta must reproduce the batch run of the union — including
+    continued pack offsets. (A straddling cluster is the documented
+    frozen-history divergence: batch may crown the delta-side doc, the
+    delta path never rewrites history — so the fixture removes the
+    delta-side members of straddling pairs first.)"""
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.operators.curate import curate_delta, publish_state
+
+    docs = _docs(spark)
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    seqs = tx.tokenized_sequences(spark, SF_SMALL)
+    strad = [
+        int(r["id_b"]) if int(r["id_b"]) > mid else int(r["id_a"])
+        for r in dd.minhash_lsh_pairs(
+            seqs, threshold=DELTA_P.near_threshold).collect()
+        if (int(r["id_a"]) <= mid) != (int(r["id_b"]) <= mid)
+    ]
+    docs = docs.filter(~F.col("doc_id").isin(strad))
+    a, b = docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)
+    p = DELTA_P
+    out_u = str(tmp_path / "union")
+    batch = _by_stage(curate(spark, docs, out_u, p))
+    out_i = str(tmp_path / "inc")
+    curate(spark, a, out_i, p)
+    publish_state(spark, out_i, p)
+    dm = _by_stage(curate_delta(spark, b, out_i, p))
+
+    cols = ("doc_id", "source", "n_tok", "seq_id", "seq_offset")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(os.path.join(out_i, "pack"))
+        .unionByName(spark.read.parquet(dm["pack"]["output"]))
+        .select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(os.path.join(out_u, "pack"))
+        .select(*cols).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_curate_delta_resume_and_state_idempotent(spark, tmp_path):
+    from metarank_spark.operators.curate import curate_delta, publish_state
+
+    out = str(tmp_path / "inc")
+    docs = _docs(spark)
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    a, b = docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)
+    curate(spark, a, out, DELTA_P)
+    publish_state(spark, out, DELTA_P)
+    first = curate_delta(spark, b, out, DELTA_P)
+    assert all(not m["resumed"] for m in first)
+    n_hashes = spark.read.parquet(
+        os.path.join(out, "_state", "exact_hashes")).count()
+    again = curate_delta(spark, b, out, DELTA_P)
+    assert all(m["resumed"] for m in again)
+    # state republish is idempotent — same partition overwritten
+    assert spark.read.parquet(
+        os.path.join(out, "_state", "exact_hashes")).count() == n_hashes
