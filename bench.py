@@ -45,6 +45,10 @@ HEADLINE = [
     "pack_sequences",
     "rank_eval",
     "lm_quality",
+    # round-5 additions (cross-round comparisons use the shared prefix)
+    "dedup_window",
+    "importance_weight",
+    "mixture_sample",
 ]
 
 

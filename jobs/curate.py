@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="fraction of docs kept by log importance weight")
     ap.add_argument("--pack-budget", type=int, default=256,
                     help="tokens per packed training sequence")
+    ap.add_argument("--checkpoint-stages", default="",
+                    help="comma-separated stages to materialize (fused "
+                         "mode — stages between checkpoints run as one "
+                         "codegen pass, ~3x less IO at scale); empty = "
+                         "materialize every stage")
     ap.add_argument("--publish-state", action="store_true",
                     help="after the run, publish the frozen-history "
                          "state tables later --delta runs dedup against")
@@ -77,7 +82,20 @@ def main(argv: list[str] | None = None) -> int:
         target_sources=tuple(s for s in args.target_sources.split(",") if s),
         importance_keep=args.importance_keep,
         pack_budget=args.pack_budget,
+        checkpoint_stages=tuple(
+            s for s in args.checkpoint_stages.split(",") if s),
     )
+    if args.publish_state and p.checkpoint_stages:
+        # state derivation reads these stage outputs from parquet —
+        # force them to materialize even in fused mode
+        need = ("dedup_exact", "decontaminate") + (
+            ("importance",)
+            if p.target_sources and p.importance_keep < 1.0 else ())
+        p = CurateParams(**{
+            **p.__dict__,
+            "checkpoint_stages": p.checkpoint_stages + tuple(
+                s for s in need if s not in p.checkpoint_stages),
+        })
     if args.delta:
         manifests = curate_delta(spark, docs, args.output, p)
     else:

@@ -35,7 +35,7 @@ import hashlib
 import json
 import os
 import time
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -105,6 +105,16 @@ class CurateParams:
     importance_keep: float = 1.0   # fraction kept by log_iw (1.0 = off)
     pack_budget: int = 256         # tokens per packed training sequence
     pack_chunk_docs: int = 512     # salted-prefix chunk for the pack stage
+    # stages that materialize (parquet + metrics). () = ALL stages — max
+    # resume granularity, right for debugging/small corpora. At scale,
+    # materializing every stage writes ~7 copies of the corpus and every
+    # boundary re-materializes the token-array rows (single-box: memory-
+    # bandwidth bound; cluster: disk+network). Fused mode — e.g.
+    # ("tokenize", "dedup_near") — runs the filter stages between
+    # checkpoints as ONE codegen pass; non-checkpoint stages record no
+    # row metrics (counting would cost the pass fusing saves). "pack"
+    # (the output) always materializes.
+    checkpoint_stages: tuple[str, ...] = ()
 
 
 def _docs_fingerprint(docs: DataFrame) -> str:
@@ -232,6 +242,23 @@ def _stage_pack(seq: DataFrame, p: CurateParams) -> DataFrame:
     )
 
 
+# Stages whose plan references the input frame MORE THAN ONCE (join back
+# to a derived survivor/weight set, two-pass salted prefix). In fused mode
+# a lazy input would be recomputed once per reference — and the recompute
+# compounds MULTIPLICATIVELY across chained fused multi-ref stages (pack
+# referencing mixture referencing decontaminate = 2^3 upstream scans) —
+# so these get an executor-memory barrier (lazy localCheckpoint) before
+# running on a lazy frame. The barrier computes the chain once and pins
+# the rows on the executors; single-ref stages (tokenize's projection,
+# quality's filter, exact dedup's window) stay fused into their consumer.
+# Cluster caveat: localCheckpoint blocks are not resilient to executor
+# loss — a lost block fails the job, and the manifest resume restarts
+# from the last parquet checkpoint. That is the explicit fused-mode
+# trade; the default (materialize every stage) has no such window.
+_MULTIREF = frozenset(
+    {"dedup_near", "decontaminate", "importance", "mixture", "pack"})
+
+
 STAGES = (
     ("tokenize", _stage_tokenize,
      lambda p: {}),
@@ -266,40 +293,50 @@ def curate(
     ``"resumed": True``."""
     p = params or CurateParams()
     require_local_output(output)
+    ckpt = set(p.checkpoint_stages) | {"pack"} if p.checkpoint_stages else None
     fp = _docs_fingerprint(docs)
     done = load_manifests(output)
     out: list[dict] = []
-    cur: DataFrame | None = docs  # live frame; None = on disk at prev_path
-    prev_path: str | None = None
+    frame = docs  # always a (possibly lazy) DataFrame
+    lazy = True   # True = frame is an unbarriered transform chain
     for name, fn, pf in STAGES:
-        fp = _chain(fp, name, pf(p))
+        materialize = ckpt is None or name in ckpt
+        fp = _chain(fp, name, {**pf(p), "__ckpt": materialize})
         rid = f"stage:{name}"
         spath = os.path.join(output, name)
+        if lazy and name in _MULTIREF:
+            frame = frame.localCheckpoint(eager=False)
+            lazy = False
         m = done.get(rid)
         if m and m["input_fingerprint"] == fp:
             out.append({**m, "resumed": True})
-            cur, prev_path = None, spath
+            # resumed checkpoint: downstream reads its parquet; resumed
+            # fused stage: re-chain its (lazy) transform — no job runs
+            if materialize:
+                frame, lazy = spark.read.parquet(spath), False
+            else:
+                frame, lazy = fn(frame, p), True
             continue
         t0 = time.perf_counter()
-        src = cur if cur is not None else spark.read.parquet(prev_path)
-        res = fn(src, p)
-        res.write.mode("overwrite").parquet(spath)
-        back = spark.read.parquet(spath)
-        stats = back.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_tok").alias("toks"),
-        ).collect()[0]
+        frame, lazy = fn(frame, p), True
+        stats = {"rows": None, "toks": None}
+        if materialize:
+            frame.write.mode("overwrite").parquet(spath)
+            frame, lazy = spark.read.parquet(spath), False
+            stats = frame.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tok").alias("toks"),
+            ).collect()[0]
         manifest = {
             "range_id": rid,
             "input_fingerprint": fp,
             "rows": stats["rows"],
             "tokens": stats["toks"],
-            "output": spath,
+            "output": spath if materialize else None,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         write_manifest(output, manifest)
         out.append({**manifest, "resumed": False})
-        cur, prev_path = back, spath
     return out
 
 
@@ -370,6 +407,15 @@ def publish_state(spark: SparkSession, output: str,
     """Derive the frozen-history state from a completed curate() run's
     stage outputs. Bounded: hashes/bands are O(docs), the LM is ≤8192
     rows, rates/offsets are |sources|-row."""
+    need = ["dedup_exact", "pack", "decontaminate"]
+    if p.target_sources and p.importance_keep < 1.0:
+        need.append("importance")
+    missing = [s for s in need if not os.path.isdir(os.path.join(output, s))]
+    if missing:
+        raise ValueError(
+            f"publish_state needs materialized stage outputs {missing} — "
+            "a fused run must list them in checkpoint_stages "
+            "(jobs/curate.py --publish-state forces this)")
     exact = spark.read.parquet(os.path.join(output, "dedup_exact"))
     _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
              output, "exact_hashes", tag)
@@ -574,37 +620,48 @@ def curate_delta(
     base_out = os.path.join(output, "deltas", tag)
     done = load_manifests(output)
     out: list[dict] = []
-    cur: DataFrame | None = new_docs
-    prev_path: str | None = None
+    # dedup_exact always materializes in delta mode: the state fold
+    # below publishes its hashes/bands/tokens
+    ckpt = (set(p.checkpoint_stages) | {"pack", "dedup_exact"}
+            if p.checkpoint_stages else None)
+    frame = new_docs
+    lazy = True
     for name, fn, pf in DELTA_STAGES:
-        fp = _chain(fp, name, pf(p))
+        materialize = ckpt is None or name in ckpt
+        fp = _chain(fp, name, {**pf(p), "__ckpt": materialize})
         rid = f"delta:{tag}:{name}"
         spath = os.path.join(base_out, name)
+        if lazy and name in _MULTIREF:
+            frame = frame.localCheckpoint(eager=False)
+            lazy = False
         m = done.get(rid)
         if m and m["input_fingerprint"] == fp:
             out.append({**m, "resumed": True})
-            cur, prev_path = None, spath
+            if materialize:
+                frame, lazy = spark.read.parquet(spath), False
+            else:
+                frame, lazy = fn(spark, frame, output, p), True
             continue
         t0 = time.perf_counter()
-        src = cur if cur is not None else spark.read.parquet(prev_path)
-        res = fn(spark, src, output, p)
-        res.write.mode("overwrite").parquet(spath)
-        back = spark.read.parquet(spath)
-        stats = back.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_tok").alias("toks"),
-        ).collect()[0]
+        frame, lazy = fn(spark, frame, output, p), True
+        stats = {"rows": None, "toks": None}
+        if materialize:
+            frame.write.mode("overwrite").parquet(spath)
+            frame, lazy = spark.read.parquet(spath), False
+            stats = frame.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tok").alias("toks"),
+            ).collect()[0]
         manifest = {
             "range_id": rid,
             "input_fingerprint": fp,
             "rows": stats["rows"],
             "tokens": stats["toks"],
-            "output": spath,
+            "output": spath if materialize else None,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
         write_manifest(output, manifest)
         out.append({**manifest, "resumed": False})
-        cur, prev_path = back, spath
     # fold this delta into the frozen state (idempotent: per-delta
     # partition dirs, overwrite mode)
     exact = spark.read.parquet(os.path.join(base_out, "dedup_exact"))

@@ -276,3 +276,34 @@ def test_curate_delta_resume_and_state_idempotent(spark, tmp_path):
     # state republish is idempotent — same partition overwritten
     assert spark.read.parquet(
         os.path.join(out, "_state", "exact_hashes")).count() == n_hashes
+
+
+def test_curate_fused_checkpoints_match_full(spark, tmp_path):
+    """checkpoint_stages fuses the filter stages into one codegen pass:
+    identical final output, metrics only at checkpoints, and resume
+    restarts from the last materialized stage."""
+    full = str(tmp_path / "full")
+    fused = str(tmp_path / "fused")
+    pf = CurateParams(**{**PARAMS.__dict__,
+                         "checkpoint_stages": ("tokenize", "dedup_near")})
+    curate(spark, _docs(spark), full, PARAMS)
+    ms = _by_stage(curate(spark, _docs(spark), fused, pf))
+    # only the checkpoints (+pack) materialized
+    assert ms["tokenize"]["output"] and ms["dedup_near"]["output"] \
+        and ms["pack"]["output"]
+    for s in ("dedup_exact", "quality", "decontaminate", "importance",
+              "mixture"):
+        assert ms[s]["output"] is None and ms[s]["rows"] is None, s
+    cols = ("doc_id", "source", "n_tok", "seq_id", "seq_offset")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(
+        os.path.join(fused, "pack")).select(*cols).collect())
+    exp = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(
+        os.path.join(full, "pack")).select(*cols).collect())
+    assert got == exp and len(got) > 0
+    # resume: everything green on rerun; deleting pack recomputes only
+    # the fused tail (checkpoints resume from parquet)
+    import shutil
+    shutil.rmtree(os.path.join(fused, "pack"))
+    ms2 = _by_stage(curate(spark, _docs(spark), fused, pf))
+    assert not ms2["pack"]["resumed"]
+    assert ms2["tokenize"]["resumed"] and ms2["dedup_near"]["resumed"]
