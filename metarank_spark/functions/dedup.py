@@ -79,12 +79,28 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 
 def minhash_signature(tokens: Column) -> list[Column]:
     """k MinHash values over the trigram shingle set:
-    h_i(s) = (a_i*s + b_i) mod P, sig_i = min over shingles."""
+    h_i(s) = (a_i*s + b_i) mod P, sig_i = min over shingles.
+
+    NOTE: each returned column embeds its own shingle fold — putting all
+    k in ONE projection evaluates the trigram fold k(+1) times per row.
+    Hot paths should project the shingle array first and derive the
+    hashes from the column via minhash_from_shingles (9x fewer HOF
+    evaluations, measured 3.3x wall on the signature pass)."""
     sh = shingles_expr(tokens)
-    return [
-        F.array_min(F.transform(sh, lambda s: (F.lit(a) * s + F.lit(b)) % HASH_MOD))
-        for a, b in MINHASH_PARAMS
-    ]
+    return minhash_from_shingles(sh)
+
+
+def minhash_from_shingles(sh: Column) -> list[Column]:
+    """k MinHash mins derived from an existing shingle-array column.
+    Referencing an expensive alias more than once blocks CollapseProject
+    from merging the projections, so a two-step
+    ``select(sh).select(sh, *mins)`` computes the shingle fold once per
+    row instead of once per hash function."""
+
+    def mk(a: int, b: int):
+        return lambda s: (F.lit(a) * s + F.lit(b)) % HASH_MOD
+
+    return [F.array_min(F.transform(sh, mk(a, b))) for a, b in MINHASH_PARAMS]
 
 
 def band_table(df: DataFrame, tokens: str = "tokens",
@@ -95,12 +111,19 @@ def band_table(df: DataFrame, tokens: str = "tokens",
     band layout as the self-join path, so a delta×history join on
     ``band`` surfaces exactly the candidates the batch self-join would.
     Docs with no shingles (<3 tokens) emit no bands."""
-    sigs = minhash_signature(F.col(tokens))
     n_bands = MINHASH_K // BAND_ROWS
-    sig_df = df.select(
+    # the no-shingle filter runs on size(tokens) BEFORE the shingle
+    # projection (equivalent: trigram shingles are non-empty iff >=3
+    # tokens) — filtering on size(__sh) after would be pushed below the
+    # Project by the optimizer WITH the fold inlined, evaluating it
+    # twice per row (the plan gate in test_text_dedup_sim pins this)
+    sig_df = df.filter(F.size(F.col(tokens)) >= 3).select(
         F.col(id_col).alias("doc_id"),
-        F.size(shingles_expr(F.col(tokens))).alias("__nsh"),
-        *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
+        shingles_expr(F.col(tokens)).alias("__sh"),
+    ).select(
+        "doc_id",
+        *[s.alias(f"__m{i}")
+          for i, s in enumerate(minhash_from_shingles(F.col("__sh")))],
     )
     bands = [
         F.concat_ws(
@@ -111,10 +134,7 @@ def band_table(df: DataFrame, tokens: str = "tokens",
         )
         for bi in range(n_bands)
     ]
-    return (
-        sig_df.filter(F.col("__nsh") > 0)
-        .select("doc_id", F.explode(F.array(*bands)).alias("band"))
-    )
+    return sig_df.select("doc_id", F.explode(F.array(*bands)).alias("band"))
 
 
 def minhash_lsh_pairs(
@@ -132,7 +152,6 @@ def minhash_lsh_pairs(
     production cap for web-scale LSH) → self-join on band key → dedup
     pairs → verify true Jaccard on trigram shingle sets ≥ threshold.
     """
-    sigs = minhash_signature(F.col(tokens))
     n_bands = MINHASH_K // BAND_ROWS
     # materialize (shingles, signatures) ONCE behind an exchange barrier:
     # without it CollapseProject re-inlines the full tokenize→shingle→
@@ -144,12 +163,21 @@ def minhash_lsh_pairs(
     # shingle+minhash HOFs would run at the scan's parallelism (one task
     # for a fixture-sized single file). Spreading the raw rows first puts
     # the compute on every core.
+
+    # two-step projection: the shingle fold lands in its own Project and
+    # the k hash mins read the `sh` COLUMN — one fold per row, not one
+    # per hash function (minhash_from_shingles docstring; measured 3.3x
+    # on the 2M-doc signature pass, test_text_dedup_sim plan gate).
     sig_df = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col(id_col).alias("id"),
             shingles_expr(F.col(tokens)).alias("sh"),
-            *[s.alias(f"__m{i}") for i, s in enumerate(sigs)],
+        )
+        .select(
+            "id", "sh",
+            *[s.alias(f"__m{i}")
+              for i, s in enumerate(minhash_from_shingles(F.col("sh")))],
         )
         # hard materialization barrier: the signature table is referenced
         # by the bucket-cap window and both self-join sides; without it
@@ -225,7 +253,16 @@ def connected_components(
     ).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).distinct()
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    # iterate ONLY over nodes that have an edge: a singleton's label is
+    # itself by construction and it contributes nothing to any neighbor,
+    # so carrying it through the rounds is pure waste — at corpus scale
+    # pair-involved nodes are a small fraction of ids (near-dup rate ×
+    # corpus), which shrinks every per-round shuffle from O(|ids|) to
+    # O(|pair nodes|). Singletons rejoin after convergence, below.
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -249,6 +286,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    # singletons (ids with no candidate pair) cluster with themselves;
+    # the leftanti is one shuffle on the id key, paid once — not once per
+    # round. Edge-endpoint nodes absent from ids keep the original
+    # semantics: they appear in the output with their propagated label.
+    labels = labels.unionByName(
+        ids.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "leftanti")
+        .withColumn("lbl", F.col("node"))
+    )
     size_w = Window.partitionBy("lbl")
     return (
         labels.withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))

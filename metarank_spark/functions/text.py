@@ -40,8 +40,19 @@ def token_id_expr(word: Column) -> Column:
 
 
 def token_ids_expr(text: Column | str) -> Column:
-    """text → array<int> token ids."""
-    return F.transform(words_expr(text), lambda w: token_id_expr(w).cast("int"))
+    """text → array<int> token ids.
+
+    The per-character fold inside makes this the most expensive
+    expression in the repo — never reference it twice in one projection
+    (e.g. ``toks`` and ``size(toks)``): stage it as a column in a lower
+    select and derive from the column (an expensive alias referenced
+    more than once blocks CollapseProject, so the fold runs once)."""
+    return token_ids_from_words(words_expr(text))
+
+
+def token_ids_from_words(words: Column) -> Column:
+    """word-array column → array<int> token ids (see token_ids_expr)."""
+    return F.transform(words, lambda w: token_id_expr(w).cast("int"))
 
 
 def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,12 +69,21 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    toks = token_ids_expr("text")
+    # two-step projection: the word split is staged as a column, tokens
+    # fold from it ONCE (expensive alias referenced twice blocks
+    # CollapseProject), and n_tok = size of the WORD array (transform
+    # preserves length) — so a caller's n_tok filter pushes down to the
+    # cheap split, never inlining the per-character tokenize fold into
+    # the predicate (which would evaluate it twice per scanned row).
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        words_expr("text").alias("__w"),
         F.col("source"),
+    ).select(
+        "doc_id",
+        token_ids_from_words(F.col("__w")).alias("tokens"),
+        F.size("__w").cast("int").alias("n_tok"),
+        "source",
     )
 
 
@@ -78,19 +98,22 @@ def fingerprint_expr(tokens: Column) -> Column:
     )
 
 
-def stopword_ratio_expr(text: Column | str) -> Column:
-    w = words_expr(text)
+def stopword_ratio_expr(text: Column | str, words: Column | None = None) -> Column:
+    w = words if words is not None else words_expr(text)
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     hits = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
     return hits / F.nullif(F.size(w).cast("double"), F.lit(0.0))
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
+def quality_features(
+    text: Column | str, words: Column | None = None
+) -> dict[str, Column]:
     """Heuristic quality signals: length, mean word length, stopword ratio,
     type-token ratio; composite score = weighted sum (rounded 6dp so both
-    engines agree bitwise)."""
+    engines agree bitwise). Pass a staged ``words`` column in hot paths so
+    the split isn't re-evaluated per signal (see token_ids_expr note)."""
     c = F.col(text) if isinstance(text, str) else text
-    w = words_expr(c)
+    w = words if words is not None else words_expr(c)
     n_words = F.size(w)
     n_chars = F.length(c)
     mean_wlen = F.round(
@@ -101,7 +124,7 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     ttr = F.round(
         F.size(F.array_distinct(w)) / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
     )
-    stop = F.round(stopword_ratio_expr(c), 6)
+    stop = F.round(stopword_ratio_expr(c, words=w), 6)
     score = F.round(
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
         + ttr * 0.4
@@ -229,10 +252,10 @@ LANG_PROFILES = {
 }
 
 
-def langid_expr(text: Column | str) -> Column:
+def langid_expr(text: Column | str, words: Column | None = None) -> Column:
     """argmax of distinct profile-word hits; ties break in en>es>de order
     (a deterministic classifier both engines compute identically)."""
-    w = F.array_distinct(words_expr(text))
+    w = F.array_distinct(words if words is not None else words_expr(text))
     scores = {}
     for lang, prof in LANG_PROFILES.items():
         arr = F.array(*[F.lit(p) for p in prof])

