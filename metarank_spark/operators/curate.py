@@ -693,3 +693,72 @@ def curate_delta(
             F.sum("n_tok").cast("long").alias("toks_added")),
         output, "pack_offsets", tag)
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming dedup-on-ingest — micro-batches as deltas
+# --------------------------------------------------------------------------
+#
+# A near-dup decision needs consensus across ALL of a document's LSH bands
+# plus within-batch connected components — cross-group logic a per-key
+# streaming state operator (applyInPandasWithState) cannot express. The
+# production Spark shape is therefore foreachBatch: every micro-batch is
+# curated as a frozen-history DELTA against the published state (exact
+# hash set, band table, retained token payloads), and its exact-survivors
+# fold into the state for the next batch. Micro-batch boundaries ARE delta
+# cuts, so the semantics are exactly curate_delta's (first-sight history,
+# never rewritten); the streaming exact-dedup state op
+# (streaming/pipeline.streaming_dedup_exact) remains the lighter-weight
+# twin for exact-only ingest.
+
+_STATE_SCHEMAS = {
+    "exact_hashes": "kh long",
+    "near_bands": "doc_id string, band string",
+    "near_docs": "doc_id string, tokens array<int>",
+}
+
+
+def ensure_dedup_state(spark: SparkSession, output: str) -> None:
+    """Bootstrap empty (typed) state partitions so batch 0 can run the
+    same state-probing plans as every later batch."""
+    for name, schema in _STATE_SCHEMAS.items():
+        if not os.path.isdir(_state_tbl(output, name)):
+            _publish(spark.createDataFrame([], schema), output, name,
+                     "bootstrap")
+
+
+def dedup_ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    output: str,
+    p: CurateParams,
+    tag: str,
+) -> str:
+    """One ingest fold: tokenize → exact dedup (within-batch + vs state)
+    → near dedup (within-batch + vs state) → survivors written under
+    ``<output>/stream/batch=<tag>/``, exact-survivors folded into the
+    state tables under partition ``delta=b<tag>``. Idempotent per tag:
+    a foreachBatch replay overwrites its own batch dir and state
+    partitions (exactly the per-delta discipline of curate_delta), so
+    at-least-once delivery converges to exactly-once output."""
+    ensure_dedup_state(spark, output)
+    seq = _stage_tokenize(docs, p)
+    exact = _delta_dedup_exact(spark, seq.localCheckpoint(eager=False),
+                               output, p)
+    bdir = os.path.join(output, "stream", f"batch={tag}")
+    epath = os.path.join(bdir, "dedup_exact")
+    exact.write.mode("overwrite").parquet(epath)
+    exact = spark.read.parquet(epath)
+    survivors = _delta_dedup_near(spark, exact, output, p)
+    spath = os.path.join(bdir, "survivors")
+    survivors.write.mode("overwrite").parquet(spath)
+    # fold exact-survivors (near-dups included: batch connected
+    # components merge clusters THROUGH dropped docs, so retaining them
+    # in the band/token state preserves that transitivity for later
+    # arrivals)
+    _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
+             output, "exact_hashes", f"b{tag}")
+    _publish(dd.band_table(exact), output, "near_bands", f"b{tag}")
+    _publish(exact.select("doc_id", "tokens"), output, "near_docs",
+             f"b{tag}")
+    return spath

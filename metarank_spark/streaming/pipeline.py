@@ -876,3 +876,37 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_near(docs_stream: DataFrame, output: str,
+                         params=None):
+    """Streaming NEAR-dedup on ingest: every micro-batch is curated as a
+    frozen-history delta against the state tables at ``output`` (exact
+    hash set + LSH band table + retained token payloads), and its
+    exact-survivors fold into the state for the next batch.
+
+    Shape rationale: a near-dup decision needs consensus across all of a
+    document's LSH bands plus within-batch connected components —
+    cross-group logic applyInPandasWithState cannot express (state is
+    per group key). foreachBatch over the batch delta operators is the
+    idiomatic Spark answer; micro-batch boundaries ARE delta cuts, so
+    semantics equal a curate_delta chain (first-sight history, never
+    rewritten). Per-batch output + state partitions are tagged by
+    batch_id, so foreachBatch's at-least-once replay converges to
+    exactly-once results (the replay overwrites its own partitions).
+
+    Returns a DataStreamWriter; caller adds checkpointLocation/trigger
+    and starts it. Survivors land under ``<output>/stream/batch=<id>/
+    survivors`` with the tokenized-sequence schema."""
+    from metarank_spark.operators.curate import (
+        CurateParams,
+        dedup_ingest_batch,
+    )
+
+    p = params or CurateParams()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df.sparkSession, batch_df, output, p, str(batch_id))
+
+    return docs_stream.writeStream.foreachBatch(fold)

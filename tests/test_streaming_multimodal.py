@@ -807,3 +807,74 @@ def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
                             streaming_dedup_exact(stream())).collect()}
     news = {k: v for k, v in got2.items() if k.startswith("replay")}
     assert len(news) == 5 and all(news.values())
+
+
+def test_streaming_dedup_near_matches_batch(spark, tmp_path):
+    """Streaming NEAR-dedup (foreachBatch over the frozen-history delta
+    operators): three availableNow runs over a growing file source = three
+    micro-batches; the union of per-batch survivors must equal the batch
+    tokenize→exact→near dedup of the whole corpus (straddle-free slices,
+    same fixture discipline as test_curate_delta_chain...), and the state
+    tables must gain one partition per batch."""
+    import os
+
+    from conftest import SF_SMALL
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.functions import text as tx
+    from metarank_spark.operators.curate import (
+        CurateParams,
+        _stage_dedup_exact,
+        _stage_dedup_near,
+        _stage_tokenize,
+    )
+    from metarank_spark.streaming.pipeline import streaming_dedup_near
+
+    p = CurateParams(near_threshold=0.5)
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    cuts = [
+        docs.agg(F.expr(f"percentile(doc_id, {q})")).collect()[0][0]
+        for q in (0.33, 0.66)
+    ]
+    part = lambda d: sum(int(d) > c for c in cuts)  # noqa: E731
+    seqs = tx.tokenized_sequences(spark, SF_SMALL)
+    strad = [
+        max(int(r["id_a"]), int(r["id_b"]))
+        for r in dd.minhash_lsh_pairs(seqs, threshold=p.near_threshold).collect()
+        if part(r["id_a"]) != part(r["id_b"])
+    ]
+    docs = docs.filter(~F.col("doc_id").isin(strad))
+
+    exp = {
+        r["doc_id"]
+        for r in _stage_dedup_near(
+            _stage_dedup_exact(_stage_tokenize(docs, p), p), p
+        ).select("doc_id").collect()
+    }
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        sl = docs.filter(
+            F.udf(lambda d, i=i: part(d) == i, "boolean")("doc_id"))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, source string")
+                  .parquet(src))
+        q = (streaming_dedup_near(stream, out, p)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    batches = sorted(os.listdir(os.path.join(out, "stream")))
+    assert len(batches) == 3, batches
+    got = set()
+    for b in batches:
+        got |= {r["doc_id"] for r in spark.read.parquet(
+            os.path.join(out, "stream", b, "survivors"))
+            .select("doc_id").collect()}
+    assert got == exp and len(got) > 0
+
+    # one state partition per batch + the typed bootstrap
+    parts = sorted(os.listdir(os.path.join(out, "_state", "near_docs")))
+    assert parts == ["delta=b0", "delta=b1", "delta=b2", "delta=bootstrap"]
