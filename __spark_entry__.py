@@ -2033,6 +2033,26 @@ _RETIRED_ORACLES["mixture_plan"] = f"""{SEQ},
       coalesce(kept.kept_toks, 0)::BIGINT AS kept_toks
     FROM tot LEFT JOIN kept USING (source), mn"""
 
+# bpe_vocab (round 5) is local-only and rows-only here: BPE training is
+# an ITERATIVE argmax-merge loop (not SQL-expressible as one query), so
+# its exactness check is the stronger pure-Python reference-equality
+# suite in tests/test_bpe.py (merge table AND per-doc encodings match a
+# classic Sennrich-2016 implementation bit-for-bit, ties included).
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword vocabulary induction: 10 BPE merges learned from the
+    documents table (functions/bpe.py — one corpus scan to the
+    (word,count) vocab, then vocab-table-sized merge iterations; driver
+    traffic = 1 row per merge)."""
+    from metarank_spark.functions import bpe
+
+    docs = load_documents(spark, sf)
+    merges = bpe.train_bpe(docs, n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank long, left long, right long, new_id long")
+
+
+_RETIRED["bpe_vocab"] = q_bpe_vocab
+
 # rank_krr (round 5) was BORN local-only: the driver registry is at its
 # 50-query cap, and rank_eval already holds the eval family's driver
 # slot. Same full DuckDB comparison every CI pass via all_queries().
