@@ -115,7 +115,18 @@ def train_bpe(
     iteration is ONE row (the argmax pair); the corpus is scanned once,
     every iteration is vocab-table-sized."""
     spark = docs.sparkSession
-    syms = _to_symbols(word_counts(docs, text)).localCheckpoint(eager=True)
+    wc = word_counts(docs, text).localCheckpoint(eager=True)
+    # size the iteration parallelism to the VOCAB, not the corpus: the
+    # merge loop runs dozens of tiny jobs over the vocab table, and at
+    # corpus-derived partition counts (shuffle.partitions) scheduling
+    # overhead dominates — measured 1.7x SLOWER at 32 threads than 8 on
+    # a 431-word vocab. ~8k words per partition keeps small vocabs on
+    # few tasks while a 10^7-row vocab still spreads over every core.
+    n_vocab = wc.count()
+    par = min(
+        spark.sparkContext.defaultParallelism, max(1, n_vocab // 8192 + 1)
+    )
+    syms = _to_symbols(wc.repartition(par)).localCheckpoint(eager=True)
     merges: list[tuple[int, int, int, int]] = []
     for rank in range(n_merges):
         top = (

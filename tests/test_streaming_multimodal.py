@@ -878,3 +878,37 @@ def test_streaming_dedup_near_matches_batch(spark, tmp_path):
     # one state partition per batch + the typed bootstrap
     parts = sorted(os.listdir(os.path.join(out, "_state", "near_docs")))
     assert parts == ["delta=b0", "delta=b1", "delta=b2", "delta=bootstrap"]
+
+
+def test_ingest_job_cli_drains_and_resumes(spark, tmp_path):
+    """jobs/ingest.py: one availableNow drain curates what's there; a
+    second invocation after new files arrive processes ONLY the new batch
+    (checkpoint resume), deduping against the first batch's state."""
+    import os
+
+    import jobs.ingest as ji
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "cur")
+    docs1 = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo", "s"),
+         (2, "alpha bravo charlie delta echo", "s")],  # exact dup of 1
+        "doc_id long, text string, source string")
+    docs1.coalesce(1).write.mode("append").parquet(src)
+    assert ji.main(["--source", src, "--output", out,
+                    "--near-threshold", "0.5"]) == 0
+    b0 = spark.read.parquet(os.path.join(out, "stream", "batch=0", "survivors"))
+    assert {r["doc_id"] for r in b0.select("doc_id").collect()} == {"1"}
+
+    docs2 = spark.createDataFrame(
+        [(3, "alpha bravo charlie delta echo", "s"),   # exact dup of history
+         (4, "alpha bravo charlie delta foxtrot", "s")],  # near-dup of 1
+        "doc_id long, text string, source string")
+    docs2.coalesce(1).write.mode("append").parquet(src)
+    assert ji.main(["--source", src, "--output", out,
+                    "--near-threshold", "0.5"]) == 0
+    b1 = spark.read.parquet(os.path.join(out, "stream", "batch=1", "survivors"))
+    assert {r["doc_id"] for r in b1.select("doc_id").collect()} == set()
+    # batch 0 untouched by the second run
+    assert sorted(os.listdir(os.path.join(out, "stream"))) == [
+        "batch=0", "batch=1"]
