@@ -138,3 +138,41 @@ def test_encode_vocab_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------- hypothesis: random corpora, distributed == reference ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _corpora(draw):
+    """Small adversarial corpora over a 3-letter alphabet: heavy ties,
+    long runs (overlap handling), repeated words, single-char words."""
+    n_docs = draw(st.integers(1, 6))
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(word, min_size=1, max_size=8))
+        docs.append((i, " ".join(words), "s"))
+    n_merges = draw(st.integers(1, 8))
+    return docs, n_merges
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpora())
+def test_bpe_hypothesis_matches_reference(spark, case):
+    rows, n_merges = case
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = bpe.train_bpe(docs, n_merges=n_merges)
+    exp = ref_train(_ref_word_counts(docs.collect()), n_merges)
+    assert got == exp
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe.encode_bpe(docs, got).collect()
+    }
+    for i, text, _ in rows:
+        expected = [p for w in text.split(" ") if w
+                    for p in ref_encode_word(w, got)]
+        assert enc[i] == expected, (i, text)
