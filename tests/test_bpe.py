@@ -176,3 +176,18 @@ def test_bpe_hypothesis_matches_reference(spark, case):
         expected = [p for w in text.split(" ") if w
                     for p in ref_encode_word(w, got)]
         assert enc[i] == expected, (i, text)
+
+
+def test_bpe_unicode_codepoints(spark):
+    """Spark's ascii() returns full unicode code points (not bytes), so
+    non-ASCII corpora train and encode identically to the ord()-based
+    reference — pinned here with accents + CJK."""
+    docs = spark.createDataFrame(
+        [(1, "éclair éclair über über 北京 北京", "s")],
+        "doc_id long, text string, source string")
+    merges = bpe.train_bpe(docs, n_merges=6)
+    assert merges == ref_train(_ref_word_counts(docs.collect()), 6)
+    (row,) = bpe.encode_bpe(docs, merges).collect()
+    exp = [p for w in "éclair éclair über über 北京 北京".split(" ")
+           for p in ref_encode_word(w, merges)]
+    assert list(row["pieces"]) == exp
