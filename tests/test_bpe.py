@@ -191,3 +191,34 @@ def test_bpe_unicode_codepoints(spark):
     exp = [p for w in "éclair éclair über über 北京 北京".split(" ")
            for p in ref_encode_word(w, merges)]
     assert list(row["pieces"]) == exp
+
+
+def test_train_vocab_job_cli_and_resume(spark, tmp_path):
+    """jobs/train_vocab.py: trains + writes merges.parquet; a rerun
+    resumes (no retraining); adding --encode reuses the stored merge
+    table and writes the encoded corpus; encoded pieces match the
+    reference."""
+    import jobs.train_vocab as jv
+
+    src = str(tmp_path / "docs.parquet")
+    docs = _docs(spark, limit=40)
+    docs.write.parquet(src)
+    out = str(tmp_path / "vocab")
+    assert jv.main(["--documents", src, "--output", out,
+                    "--n-merges", "8"]) == 0
+    merges = [
+        (r["rank"], r["left"], r["right"], r["new_id"])
+        for r in spark.read.parquet(
+            os.path.join(out, "merges.parquet")).orderBy("rank").collect()
+    ]
+    assert merges == ref_train(_ref_word_counts(docs.collect()), 8)
+
+    # rerun with --encode: merges resumed, corpus encoded
+    assert jv.main(["--documents", src, "--output", out,
+                    "--n-merges", "8", "--encode"]) == 0
+    enc = {r["doc_id"]: list(r["pieces"]) for r in spark.read.parquet(
+        os.path.join(out, "encoded.parquet")).collect()}
+    for r in docs.collect():
+        exp = [p for w in r["text"].split(" ") if w
+               for p in ref_encode_word(w, merges)]
+        assert enc[r["doc_id"]] == exp
