@@ -374,3 +374,37 @@ def test_curate_delta_chain_bounded_and_equals_batch(spark, tmp_path):
     assert len(parts) == n_cuts
     assert hash_counts == sorted(hash_counts)  # monotone, bounded by docs
     assert hash_counts[-1] <= docs.count()
+
+
+def test_curate_cli_fused_publish_state_forces_checkpoints(spark, tmp_path):
+    """--publish-state with fused checkpoints must force the state-source
+    stages to materialize (dedup_exact/decontaminate/pack) so state
+    derivation succeeds; publish_state alone on a fused run without them
+    raises a clear error naming the missing stages."""
+    import jobs.curate as jc
+    from metarank_spark.operators.curate import publish_state
+
+    out = str(tmp_path / "cli_fused")
+    rc = jc.main([
+        "--documents", os.path.join(SF_SMALL, "documents.parquet"),
+        "--output", out, "--min-tokens", "3", "--pack-budget", "64",
+        "--checkpoint-stages", "tokenize", "--publish-state",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "_state", "exact_hashes"))
+    # the forced stages materialized despite fused mode
+    for s in ("dedup_exact", "decontaminate", "pack"):
+        assert os.path.isdir(os.path.join(out, s)), s
+    # but the un-forced fused stages did not
+    assert not os.path.isdir(os.path.join(out, "quality"))
+
+    # direct publish_state on a fused run missing its sources: clear error
+    out2 = str(tmp_path / "fused_nostate")
+    p = CurateParams(**{**PARAMS.__dict__,
+                        "checkpoint_stages": ("tokenize",)})
+    curate(spark, _docs(spark), out2, p)
+    try:
+        publish_state(spark, out2, p)
+        raise AssertionError("expected ValueError for missing stages")
+    except ValueError as e:
+        assert "dedup_exact" in str(e) and "decontaminate" in str(e)
