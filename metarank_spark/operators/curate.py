@@ -227,10 +227,26 @@ def _stage_importance(seq: DataFrame, p: CurateParams) -> DataFrame:
 
 
 def _stage_mixture(seq: DataFrame, p: CurateParams) -> DataFrame:
+    """Same integer-exact keep set as functions/selection.mixture_sample,
+    applied as a PREDICATE on the full-width frame: broadcast the
+    |sources|-row totals + the 1-row minimum and filter. (The previous
+    shape joined back to mixture_sample's kept doc_id set with an
+    explicit broadcast — a CORPUS-scale broadcast once the keep fraction
+    is non-trivial, dead at 10^9 docs. The rates-as-predicate shape is
+    what the delta path already used.)"""
     if not p.mixture:
         return seq
-    kept = sel.mixture_sample(seq).select("doc_id")
-    return seq.join(F.broadcast(kept), "doc_id", "leftsemi")
+    tot = seq.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("__toks")
+    ).localCheckpoint(eager=True)  # |sources| rows
+    mn = tot.agg(F.min("__toks").alias("__mn"))
+    return (
+        seq.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(mn))
+        .filter(sel.doc_accept_expr(
+            F.col("doc_id"), F.col("__toks"), F.col("__mn")))
+        .drop("__toks", "__mn")
+    )
 
 
 def _stage_pack(seq: DataFrame, p: CurateParams) -> DataFrame:
