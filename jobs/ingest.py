@@ -37,6 +37,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="curation root: survivors under stream/batch=N, "
                          "state under _state/")
     ap.add_argument("--near-threshold", type=float, default=0.1)
+    ap.add_argument("--full", action="store_true",
+                    help="run the FULL curation pipeline per micro-batch "
+                         "(quality, decontaminate, importance, mixture, "
+                         "pack with continued offsets) against the frozen "
+                         "state of a prior curate --publish-state run, "
+                         "instead of dedup-only ingest")
+    # --full mode knobs — MUST match the base curate run's params (the
+    # frozen importance LM validates its targets; the rest is on you)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--max-rep", type=float, default=1.0)
+    ap.add_argument("--benchmark-ids", default="")
+    ap.add_argument("--no-mixture", action="store_true")
+    ap.add_argument("--target-sources", default="")
+    ap.add_argument("--importance-keep", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=256)
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     help="bound micro-batch size (files); default: all "
                          "available files in one batch")
@@ -48,16 +64,30 @@ def main(argv: list[str] | None = None) -> int:
 
     from metarank_spark.operators.curate import CurateParams
     from metarank_spark.session import get_spark
-    from metarank_spark.streaming.pipeline import streaming_dedup_near
+    from metarank_spark.streaming.pipeline import (
+        streaming_curate,
+        streaming_dedup_near,
+    )
 
     spark = get_spark("metarank-ingest", parallelism=args.cpus)
     reader = spark.readStream.schema("doc_id long, text string, source string")
     if args.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
     stream = reader.parquet(args.source)
-    p = CurateParams(near_threshold=args.near_threshold)
+    p = CurateParams(
+        min_tokens=args.min_tokens,
+        min_quality=args.min_quality,
+        max_rep=args.max_rep,
+        near_threshold=args.near_threshold,
+        benchmark_ids=tuple(s for s in args.benchmark_ids.split(",") if s),
+        mixture=not args.no_mixture,
+        target_sources=tuple(s for s in args.target_sources.split(",") if s),
+        importance_keep=args.importance_keep,
+        pack_budget=args.pack_budget,
+    )
+    wrap = streaming_curate if args.full else streaming_dedup_near
     writer = (
-        streaming_dedup_near(stream, args.output, p)
+        wrap(stream, args.output, p)
         .option("checkpointLocation",
                 os.path.join(args.output, "_ingest_checkpoint"))
     )

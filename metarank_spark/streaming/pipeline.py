@@ -910,3 +910,34 @@ def streaming_dedup_near(docs_stream: DataFrame, output: str,
             batch_df.sparkSession, batch_df, output, p, str(batch_id))
 
     return docs_stream.writeStream.foreachBatch(fold)
+
+
+def streaming_curate(docs_stream: DataFrame, output: str, params=None):
+    """Streaming END-TO-END curation on ingest: every micro-batch runs
+    the full frozen-history delta pipeline (operators/curate.curate_delta
+    — tokenize → dedup exact/near vs all history → quality →
+    decontaminate → [importance with the frozen base LM + cutoff] →
+    mixture at the frozen base rates → pack with CONTINUED per-source
+    offsets), then folds its survivors into the state for the next
+    batch.
+
+    Requires a completed base ``curate()`` + ``publish_state()`` at
+    ``output`` (the frozen LM/rates/offsets come from the base run —
+    curate_delta raises a clear error otherwise). Batch outputs land
+    under ``<output>/deltas/<fingerprint>/`` exactly as driver-invoked
+    deltas do: the delta tag is the batch's CONTENT fingerprint, so a
+    foreachBatch replay recomputes into the same directories and
+    manifests (idempotent), and a batch already curated in a previous
+    run resumes receipt-by-receipt instead of recomputing.
+
+    Returns a DataStreamWriter; caller adds checkpointLocation/trigger."""
+    from metarank_spark.operators.curate import CurateParams, curate_delta
+
+    p = params or CurateParams()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curate_delta(batch_df.sparkSession, batch_df, output, p)
+
+    return docs_stream.writeStream.foreachBatch(fold)

@@ -912,3 +912,73 @@ def test_ingest_job_cli_drains_and_resumes(spark, tmp_path):
     # batch 0 untouched by the second run
     assert sorted(os.listdir(os.path.join(out, "stream"))) == [
         "batch=0", "batch=1"]
+
+
+def test_streaming_full_curate_equals_delta_chain(spark, tmp_path):
+    """jobs/ingest.py --full: micro-batches through the stream produce
+    byte-identical delta outputs (same directories, same packs with
+    continued offsets) as driver-invoked curate_delta calls — the delta
+    tag is the batch's CONTENT fingerprint, so streamed and direct runs
+    converge on the same artifacts. Transitively (curate_delta's own
+    equality test) this matches the batch union."""
+    import os
+
+    import jobs.ingest as ji
+    from conftest import SF_SMALL
+    from metarank_spark.operators.curate import (
+        CurateParams, curate, curate_delta, publish_state)
+
+    pr = CurateParams(min_tokens=3, near_threshold=0.5, mixture=False,
+                      pack_budget=64)
+    docs = spark.read.parquet(
+        os.path.join(SF_SMALL, "documents.parquet"))
+    mid = docs.agg(F.expr("percentile(doc_id, 0.34)")).collect()[0][0]
+    mid2 = docs.agg(F.expr("percentile(doc_id, 0.67)")).collect()[0][0]
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.functions import text as tx
+    part = lambda d: int(int(d) > mid) + int(int(d) > mid2)  # noqa: E731
+    seqs = tx.tokenized_sequences(spark, SF_SMALL)
+    strad = [max(int(r["id_a"]), int(r["id_b"]))
+             for r in dd.minhash_lsh_pairs(seqs, threshold=0.5).collect()
+             if part(r["id_a"]) != part(r["id_b"])]
+    docs = docs.filter(~F.col("doc_id").isin(strad))
+    base = docs.filter(F.col("doc_id") <= mid)
+    d1 = docs.filter((F.col("doc_id") > mid) & (F.col("doc_id") <= mid2))
+    d2 = docs.filter(F.col("doc_id") > mid2)
+
+    def bootstrap(out):
+        curate(spark, base, out, pr)
+        publish_state(spark, out, pr)
+
+    # direct chain
+    out_d = str(tmp_path / "direct")
+    bootstrap(out_d)
+    for d in (d1, d2):
+        curate_delta(spark, d, out_d, pr)
+
+    # streamed chain: same deltas as two availableNow drains
+    out_s = str(tmp_path / "stream")
+    bootstrap(out_s)
+    src = str(tmp_path / "in")
+    for d in (d1, d2):
+        d.coalesce(1).write.mode("append").parquet(src)
+        assert ji.main([
+            "--source", src, "--output", out_s, "--full",
+            "--min-tokens", "3", "--near-threshold", "0.5",
+            "--no-mixture", "--pack-budget", "64",
+        ]) == 0
+
+    # identical delta directory sets and identical pack contents
+    tags_d = sorted(os.listdir(os.path.join(out_d, "deltas")))
+    tags_s = sorted(os.listdir(os.path.join(out_s, "deltas")))
+    assert tags_d == tags_s and len(tags_d) == 2
+    cols = ("doc_id", "source", "n_tok", "seq_id", "seq_offset")
+    for t in tags_d:
+        a = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(
+            os.path.join(out_d, "deltas", t, "pack")).select(*cols).collect())
+        b = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(
+            os.path.join(out_s, "deltas", t, "pack")).select(*cols).collect())
+        assert a == b, t
+    assert any(
+        spark.read.parquet(os.path.join(out_d, "deltas", t, "pack")).count()
+        for t in tags_d)
