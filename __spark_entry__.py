@@ -274,7 +274,13 @@ def q_rate_field_scoped(spark: SparkSession, sf: str) -> DataFrame:
         F.last(k_sig, ignorenulls=True).over(w_user).alias("fscope"),
         F.floor(F.col("ts_ms") / F.lit(MS_DAY)).alias("__salt"),
         is_c.alias("__c"), is_v.alias("__v"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r6 barrier: the staged frame (segment derived by the user-key
+    # window) feeds BOTH the within-day running sums and the per-day
+    # aggregate — without it Catalyst re-expands the scan + user window
+    # under each consumer (two full event passes; measured in the before
+    # plan: 2 parquet scans). Blocks GC-release with the frame; at
+    # warehouse scale write the staged frame out instead.
     # strict within-(segment, day) running sums — bounded tasks even for
     # a segment holding the whole corpus
     w_in = (
@@ -666,8 +672,11 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # explode → codegen hash-agg twin of simhash_expr (r6): 20 interpreted
+    # HOF passes per row → one pipelined partial aggregate; bit-identical
+    # (dd.simhash_table docstring, equality pinned in test_text_dedup_sim)
     seq = tx.tokenized_sequences(spark, sf)
-    return seq.select("doc_id", dd.simhash_expr(F.col("tokens")).alias("simhash"))
+    return dd.simhash_table(seq)
 
 
 def q_term_match(spark: SparkSession, sf: str) -> DataFrame:
@@ -776,7 +785,10 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     assigned = scored.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))).alias("cell"),
         F.first("embedding").alias("embedding"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r6 barrier: `assigned` is read by the query-cell probe AND the
+    # candidate side; without it the K-centroid scoring + argmax agg ran
+    # twice (before plan: 2 embedding scans, 18 exchanges)
     qcell = assigned.filter(F.col("vec_id") == 0).select(
         F.col("cell").alias("qc"), F.col("embedding").alias("q")
     )
@@ -801,7 +813,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     near-dup cluster (the zero-hamming-distance tier of simhash dedup —
     one hash shuffle on the signature, same plan as exact dedup)."""
     seq = tx.tokenized_sequences(spark, sf)
-    sh = seq.select("doc_id", dd.simhash_expr(F.col("tokens")).alias("simhash"))
+    sh = dd.simhash_table(seq)  # codegen agg twin of simhash_expr (r6)
     out = dd.exact_dedup(sh, F.col("simhash"), id_col="doc_id")
     return out.select("doc_id", "simhash", "dup_rank", "group_size", "is_dup")
 
@@ -902,9 +914,13 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     chunk-totals frame stays small relative to the corpus."""
     from metarank_spark.plans.prefix import salted_cumulative_sum
 
-    seq = tx.tokenized_sequences(spark, sf).withColumn(
-        "__ord", F.col("doc_id").cast("long")
-    )
+    seq = tx.tokenized_sequences(spark, sf).select(
+        "doc_id", "source", "n_tok", F.col("doc_id").cast("long").alias("__ord")
+    ).localCheckpoint(eager=False)
+    # ^ r6: project to the 4 columns the packer reads (the token arrays
+    # never cross the prefix machinery) and barrier the frame — the
+    # salted two-pass shape reads its input twice (within-chunk windows
+    # + per-chunk totals), which re-ran the scan + word split per pass
     packed = salted_cumulative_sum(
         seq, F.col("n_tok"), entity="source", order=("__ord", "doc_id"),
         chunk_ms=PACK_CHUNK_DOCS, out="off", strictly_before=True,
@@ -944,16 +960,34 @@ def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     summation orders per engine."""
     seq = tx.tokenized_sequences(spark, sf).filter(F.col("n_tok") > 0)
     tok = seq.select("doc_id", F.explode("tokens").alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf_corpus"))
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # single-scan shape (r6): the naive vocab/total/probe tree referenced
+    # `tok` three times, so Catalyst re-expanded the tokenize fold into
+    # THREE corpus scans. Aggregate the exploded stream once into per-doc
+    # term frequencies behind a materialization barrier; the vocab
+    # (≤HASH_MOD = 1,000,003 rows at ANY corpus size — broadcastable by
+    # construction) and the grand total both derive from it, and the
+    # probe join moves doc×distinct-token rows instead of every token
+    # instance. avg over instances ≡ tf-weighted mean (same 6dp round
+    # absorbing engine summation order, as before).
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tf.groupBy("t").agg(F.sum("tf").alias("tf_corpus")).localCheckpoint(
+        eager=False
+    )
+    total = vocab.agg(F.sum("tf_corpus").cast("double").alias("__n"))
     return (
-        tok.join(vocab, "t")
+        tf.join(F.broadcast(vocab), "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("tf").cast("long").alias("n_tok"),
             F.round(
-                -F.avg(F.log2(F.col("tf_corpus") / F.col("__n"))), 6
+                -F.sum(F.col("tf") * F.log2(F.col("tf_corpus") / F.col("__n")))
+                / F.sum("tf"),
+                6,
             ).alias("bits_per_token"),
         )
     )

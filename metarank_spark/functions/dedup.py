@@ -197,20 +197,38 @@ def minhash_lsh_pairs(
         )
         for bi in range(n_bands)
     ]
-    base = sig_df.select(
-        "id", "sh", F.explode(F.array(*bands)).alias("band")
-    ).filter(F.size("sh") > 0)
+    # candidate generation on (id, band) ONLY (r6): the band-cap window,
+    # the self-join, and the pair dedup previously all shuffled the
+    # shingle ARRAYS as payload — three exchanges carrying the heaviest
+    # column to move a few bytes of key. Bands are generated from the
+    # signature columns alone; the shingle sets re-attach to the ~|near
+    # dups| surviving pairs by two id joins against the checkpointed
+    # signature table (pair side is small → AQE broadcasts it, so the
+    # arrays never cross an exchange at all).
+    base = sig_df.filter(F.size("sh") > 0).select(
+        "id", F.explode(F.array(*bands)).alias("band")
+    )
     bucket_n = Window.partitionBy("band")
     base = base.withColumn("__bn", F.count(F.lit(1)).over(bucket_n)).filter(
         F.col("__bn") <= max_bucket
     ).drop("__bn")
-    left = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band")
-    right = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band")
-    cand = (
+    left = base.select(F.col("id").alias("id_a"), "band")
+    right = base.select(F.col("id").alias("id_b"), "band")
+    pairs = (
         left.join(right, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        pairs.join(
+            sig_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sig_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
     )
     jac = F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6)
     return (
@@ -340,6 +358,13 @@ def duplicated_windows(
     starts = F.sequence(
         F.lit(0), F.col("n_tok") - window, F.lit(stride))
     win = F.slice("tokens", F.col("__s") + 1, window)
+    # materialization barrier (r6): the hashed-window table is consumed
+    # by BOTH the key-count aggregate and the mark-join probe — without
+    # it Catalyst re-expands the tokenize + slice + hash chain into two
+    # full corpus scans. The stored rows are (doc_id, 16-byte key), the
+    # lightweight proxy the shuffle-notes above promise; blocks are
+    # GC-released when the frame goes out of scope (same contract as
+    # minhash_lsh_pairs). At warehouse scale write it as its own table.
     w = (
         seq.filter(F.col("n_tok") >= window)
         .select(id_col, "tokens", F.explode(starts).alias("__s"))
@@ -349,6 +374,7 @@ def duplicated_windows(
                 F.xxhash64(win).alias("h1"), F.hash(win).alias("h2")
             ).alias("__k"),
         )
+        .localCheckpoint(eager=False)
     )
     dup_keys = (
         w.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
@@ -375,6 +401,54 @@ def duplicated_windows(
                 / F.when(F.col("__w") > 0, F.col("__w")),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def simhash_table(
+    seq: DataFrame, tokens: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) for every input row — bit-identical to
+    ``simhash_expr`` but computed as explode → hash aggregate instead of
+    SIMHASH_BITS interpreted array passes per row.
+
+    ``simhash_expr`` evaluates one higher-order ``filter`` per bit —
+    20 interpreted lambda invocations per TOKEN (no whole-stage codegen
+    for HOFs). Here each exploded token computes g(t) and its 20 bit
+    flags inside one codegen'd partial aggregate (pipelined with the
+    Generate — nothing token-scale crosses the exchange; the shuffle is
+    |docs| rows of 20 counters), and the majority vote runs on the
+    per-doc counts. ``floor(g / 2^j) % 2`` ≡ ``shiftright(g, j) % 2``
+    exactly (g < 2^32, both operands exact in double). Rows whose token
+    array is empty explode to nothing and rejoin with simhash 0 — the
+    value the all-false majority vote assigns them."""
+    g = (F.col("__t").cast("long") * SIMHASH_MULT) % SIMHASH_MOD
+    tok = seq.select(id_col, F.explode(tokens).alias("__t"))
+    agg = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(g, j) % 2).alias(f"__b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    sh = agg.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(2**j))
+                .otherwise(F.lit(0))
+                .cast("long")
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return (
+        seq.select(id_col)
+        .join(sh, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
         )
     )
 

@@ -136,10 +136,16 @@ def log_importance_weights(
     ``(doc_id, source, n_bigrams, log_iw)`` for every doc with ≥1 bigram;
     log_iw rounded (sum order differs per engine).
 
-    Plan: one explode, two bounded hash aggs (≤B rows each), one 1-row
-    total, one broadcast join, one per-doc agg (two corpus scans total —
-    estimate, then score; see bigram_lm_weights)."""
-    w, _ = bigram_lm_weights(seq, target_sources, n_buckets)
+    Plan (r6 single-scan shape): ONE corpus scan — the exploded bigram
+    stream folds into per-(doc, bucket) counts behind a materialization
+    barrier, and BOTH the LM estimate and the scoring pass derive from
+    that table. The old estimate-then-score tree scanned (and re-ran the
+    tokenize + bigram folds over) the corpus twice; the fused count
+    table is doc×distinct-bucket rows (≤n_buckets per doc) and replaces
+    every later corpus touch. Per-bucket weights are identical
+    expressions; the per-doc sum becomes the count-weighted sum of the
+    same addends (same round_dp absorbing engine summation order, as the
+    docstring above already required)."""
     big = (
         seq.filter(F.size("tokens") >= 2)
         .select(
@@ -147,12 +153,34 @@ def log_importance_weights(
             F.explode(bigram_hash_expr(F.col("tokens"), n_buckets)).alias("h"),
         )
     )
+    dt = (
+        big.groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("source").isin(*target_sources)
+    lm = dt.groupBy("h").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("ct"),
+    ).localCheckpoint(eager=False)
+    totals = lm.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
+    )
+    b = float(n_buckets)
+    w = lm.crossJoin(F.broadcast(totals)).select(
+        "h",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + b))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + b))
+        ).alias("w"),
+    )
     return (
-        big.join(F.broadcast(w), "h")
+        dt.join(F.broadcast(w), "h")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.sum("w"), round_dp).alias("log_iw"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.col("w")), round_dp).alias("log_iw"),
         )
     )
 

@@ -88,23 +88,43 @@ def cosine_topk(
     return rank_topk(joined.select(F.col(id_col), score.alias("score")), k, id_col)
 
 
+def _hyperplane_values(plane: int, dim: int) -> list[float]:
+    """Component i of deterministic pseudo-random hyperplane ``plane``:
+    ((j*2654435761 + i*40503) mod P)/P - 0.5. Evaluated driver-side —
+    Python's exact integers + one IEEE double division produce the very
+    doubles the closed-form SQL expression yields, so both spellings are
+    bit-identical."""
+    return [
+        ((plane * 2654435761 + i * 40503) % LSH_MOD) / float(LSH_MOD) - 0.5
+        for i in range(dim)
+    ]
+
+
 def hyperplane_expr(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane j: component i =
-    ((j*2654435761 + i*40503) mod P)/P - 0.5 — same closed form in SQL."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return F.transform(
-        idx,
-        lambda i: ((F.lit(plane) * 2654435761 + i.cast("long") * 40503) % LSH_MOD)
-        / F.lit(float(LSH_MOD))
-        - 0.5,
-    )
+    """Hyperplane ``plane`` as a constant array literal (r6): the former
+    ``transform(sequence(...))`` spelling is a higher-order function,
+    which Catalyst cannot constant-fold — every ROW re-generated every
+    plane's 64 components. A literal array folds once at plan time."""
+    return F.array(*[F.lit(v) for v in _hyperplane_values(plane, dim)])
 
 
 def lsh_signature(vec: Column, dim: int) -> Column:
-    """Sign-bit signature over LSH_PLANES hyperplanes, as a long."""
+    """Sign-bit signature over LSH_PLANES hyperplanes, as a long.
+
+    r6: the per-plane dot product is unrolled to a whole-stage-codegen
+    sum of ``vec[i] * literal`` terms instead of
+    ``aggregate(zip_with(...))`` — higher-order functions are interpreted
+    (CodegenFallback), so the fold paid an interpreted lambda call per
+    component per plane. The unrolled chain adds the identical terms in
+    the identical left-to-right order starting from 0.0, so every
+    partial double — and hence every sign bit — is bit-equal to the
+    fold's."""
     bits = []
     for j in range(LSH_PLANES):
-        d = dot_expr(vec, hyperplane_expr(j, dim))
+        vals = _hyperplane_values(j, dim)
+        d = F.lit(0.0)
+        for i, v in enumerate(vals):
+            d = d + F.get(vec, i).cast("double") * F.lit(v)
         bits.append((d > 0).cast("long") * (2**j))
     out = bits[0]
     for b in bits[1:]:

@@ -43,6 +43,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode. When e is a stored column
+        # that prunes rows early; when e is a COMPUTED array (this
+        # engine's tokenize/shingle/bigram folds feed every explode) the
+        # synthesized filter re-evaluates the full fold per conjunct —
+        # measured 2 extra per-character tokenize folds per row, pushed
+        # below the fan-out repartition into a single pre-shuffle task.
+        # Explode itself already skips null/empty arrays, so the rule is
+        # purely an (anti-)optimization here. Scale-independent: the
+        # cost is per evaluated row on any cluster size.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # parquet scans: keep splits big enough to amortize task overhead
