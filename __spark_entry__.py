@@ -746,7 +746,11 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     dim = 64
     sig = emb.select(
         "vec_id", "embedding", sim.lsh_signature(F.col("embedding"), dim).alias("sig")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r6 barrier: the signature table is probed by the query row AND
+    # the candidate side — without it the 8-plane signature pass (and
+    # its sizable expression tree, re-optimized on every action) runs
+    # under both join branches
     qsig = sig.filter(F.col("vec_id") == 0).select(
         F.col("sig").alias("qs"), F.col("embedding").alias("q")
     )
@@ -847,18 +851,19 @@ def q_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return (
         seq.filter(F.col("n_tok") > 0)
         .select(
-            "doc_id", "source", "tokens", "n_tok",
+            "doc_id", "source", "n_tok",
+            # r6: render token ids to strings ONCE per document, below
+            # the explode — window/stride overlap means every id lands in
+            # ~window/stride chunks, and the per-chunk transform was
+            # re-casting it that many times
+            F.transform("tokens", lambda t: t.cast("string")).alias("__ts"),
             F.posexplode(starts).alias("chunk_id", "s"),
         )
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.array_join(
-                F.transform(
-                    F.slice("tokens", F.col("s") + 1, F.lit(CHUNK_WINDOW)),
-                    lambda t: t.cast("string"),
-                ),
-                " ",
+                F.slice("__ts", F.col("s") + 1, F.lit(CHUNK_WINDOW)), " "
             ).alias("chunk_str"),
             F.least(F.lit(CHUNK_WINDOW), F.col("n_tok") - F.col("s"))
             .cast("long").alias("chunk_len"),

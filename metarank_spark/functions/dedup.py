@@ -111,15 +111,33 @@ def band_table(df: DataFrame, tokens: str = "tokens",
     band layout as the self-join path, so a delta×history join on
     ``band`` surfaces exactly the candidates the batch self-join would.
     Docs with no shingles (<3 tokens) emit no bands."""
-    n_bands = MINHASH_K // BAND_ROWS
     # the no-shingle filter runs on size(tokens) BEFORE the shingle
     # projection (equivalent: trigram shingles are non-empty iff >=3
     # tokens) — filtering on size(__sh) after would be pushed below the
     # Project by the optimizer WITH the fold inlined, evaluating it
     # twice per row (the plan gate in test_text_dedup_sim pins this)
-    sig_df = df.filter(F.size(F.col(tokens)) >= 3).select(
+    sh_df = df.filter(F.size(F.col(tokens)) >= 3).select(
         F.col(id_col).alias("doc_id"),
         shingles_expr(F.col(tokens)).alias("__sh"),
+    )
+    # prefiltered: tokens >= 3 ⇒ shingles non-empty; re-filtering on the
+    # computed __sh would push below the Project with the fold inlined
+    return bands_from_shingles(sh_df, sh="__sh", prefiltered=True)
+
+
+def bands_from_shingles(df: DataFrame, sh: str = "sh",
+                        id_col: str = "doc_id",
+                        prefiltered: bool = False) -> DataFrame:
+    """band_table over PRECOMPUTED shingle arrays (r6) — identical
+    signature family and band strings, no token fold. This is how the
+    delta/streaming state path derives bands from the stored shingle
+    state without ever re-shingling history. ``prefiltered`` skips the
+    empty-shingle filter when the caller guarantees non-empty arrays
+    (a filter on a computed shingle column would inline the fold)."""
+    n_bands = MINHASH_K // BAND_ROWS
+    base = df if prefiltered else df.filter(F.size(F.col(sh)) > 0)
+    sig_df = base.select(
+        F.col(id_col).alias("doc_id"), F.col(sh).alias("__sh")
     ).select(
         "doc_id",
         *[s.alias(f"__m{i}")
@@ -409,48 +427,35 @@ def simhash_table(
     seq: DataFrame, tokens: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, simhash) for every input row — bit-identical to
-    ``simhash_expr`` but computed as explode → hash aggregate instead of
-    SIMHASH_BITS interpreted array passes per row.
-
-    ``simhash_expr`` evaluates one higher-order ``filter`` per bit —
-    20 interpreted lambda invocations per TOKEN (no whole-stage codegen
-    for HOFs). Here each exploded token computes g(t) and its 20 bit
-    flags inside one codegen'd partial aggregate (pipelined with the
-    Generate — nothing token-scale crosses the exchange; the shuffle is
-    |docs| rows of 20 counters), and the majority vote runs on the
-    per-doc counts. ``floor(g / 2^j) % 2`` ≡ ``shiftright(g, j) % 2``
-    exactly (g < 2^32, both operands exact in double). Rows whose token
-    array is empty explode to nothing and rejoin with simhash 0 — the
-    value the all-false majority vote assigns them."""
-    g = (F.col("__t").cast("long") * SIMHASH_MULT) % SIMHASH_MOD
-    tok = seq.select(id_col, F.explode(tokens).alias("__t"))
-    agg = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.shiftright(g, j) % 2).alias(f"__b{j}")
-            for j in range(SIMHASH_BITS)
-        ],
-    )
-    sh = agg.select(
+    ``simhash_expr`` computed with the spread values STAGED: one
+    ``transform`` materializes g(t) per token into a column, and the 20
+    per-bit majority passes filter that column with a single
+    shiftright-and-parity test instead of re-deriving g (multiply + mod
+    + double divide + floor) per token per bit. ``floor(g / 2^j) % 2`` ≡
+    ``shiftright(g, j) % 2`` exactly (g < 2^32, both operands exact in
+    double). The g-array and n columns are referenced by every bit, so
+    CollapseProject cannot re-inline the transform — one spread pass per
+    row. (Measured on the sf1.0 pass: 7.5 s naive expr, 1.1 s as an
+    explode+aggregate, 0.72 s in this staged form — the explode paid
+    doc_id duplication per token and a 21-column aggregate.)"""
+    g = lambda t: (t.cast("long") * SIMHASH_MULT) % SIMHASH_MOD  # noqa: E731
+    staged = seq.select(
         id_col,
-        sum(
-            [
-                F.when(F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(2**j))
-                .otherwise(F.lit(0))
-                .cast("long")
-                for j in range(SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        F.transform(tokens, g).alias("__g"),
+        F.size(tokens).alias("__n"),
     )
-    return (
-        seq.select(id_col)
-        .join(sh, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
-        )
-    )
+    bits = [
+        (
+            F.size(F.filter("__g", lambda x: F.shiftright(x, j) % 2 == 1)) * 2
+            > F.col("__n")
+        ).cast("long")
+        * (2**j)
+        for j in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return staged.select(id_col, out.alias("simhash"))
 
 
 def simhash_expr(tokens: Column) -> Column:

@@ -433,8 +433,17 @@ def _publish(df: DataFrame, output: str, name: str, tag: str) -> None:
 
 
 def _read_state(spark: SparkSession, output: str, name: str,
-                cols: list[str]) -> DataFrame:
-    return spark.read.parquet(_state_tbl(output, name)).select(*cols)
+                cols: list[str], exclude_tag: str | None = None) -> DataFrame:
+    """Read every published partition of a state table — EXCEPT the
+    running delta/batch's own (``exclude_tag``). A replay after a crash
+    between the state publish and the caller's commit would otherwise
+    probe the batch's own previously-published rows: every doc marks as
+    a duplicate of itself and the rerun silently empties the batch (and
+    _delta_pack would double-count its own pack offsets)."""
+    df = spark.read.parquet(_state_tbl(output, name))
+    if exclude_tag is not None:
+        df = df.filter(F.col("delta") != exclude_tag)
+    return df.select(*cols)
 
 
 def publish_state(spark: SparkSession, output: str,
@@ -454,8 +463,7 @@ def publish_state(spark: SparkSession, output: str,
     exact = spark.read.parquet(os.path.join(output, "dedup_exact"))
     _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
              output, "exact_hashes", tag)
-    _publish(dd.band_table(exact), output, "near_bands", tag)
-    _publish(exact.select("doc_id", "tokens"), output, "near_docs", tag)
+    _publish_near_state(exact, output, tag)
     mix_in = spark.read.parquet(os.path.join(
         output, "importance" if os.path.isdir(os.path.join(output, "importance"))
         else "decontaminate"))
@@ -482,13 +490,30 @@ def publish_state(spark: SparkSession, output: str,
                        "targets": list(p.target_sources)}, fh)
 
 
-def _delta_dedup_exact(spark, seq, output, p):
+def _publish_near_state(exact: DataFrame, output: str, tag: str) -> None:
+    """Fold a run's exact-survivors into the near-dedup state: band keys
+    + SHINGLE-HASH arrays (r6 — previously raw token arrays). Storing
+    shingles kills the confirmed O(history)-per-delta defect: the probe
+    used to re-run the trigram fold over the ENTIRE near_docs table on
+    every delta/micro-batch; now history shingles are read as stored
+    columns and the only fold left is over the delta. The bands derive
+    from the same staged shingle frame (one fold per doc at publish
+    time, shared via the barrier), and the shingle state is smaller than
+    the token payload it replaces (distinct trigrams ≤ n_tok - 2)."""
+    sh_tbl = exact.select(
+        "doc_id", dd.shingles_expr(F.col("tokens")).alias("sh")
+    ).localCheckpoint(eager=False)
+    _publish(sh_tbl, output, "near_docs", tag)
+    _publish(dd.bands_from_shingles(sh_tbl), output, "near_bands", tag)
+
+
+def _delta_dedup_exact(spark, seq, output, p, tag=None):
     within = (
         dd.exact_dedup(seq, F.col("tokens"))
         .filter(~F.col("is_dup"))
         .drop("dup_rank", "group_size", "is_dup")
     )
-    hist = _read_state(spark, output, "exact_hashes", ["kh"])
+    hist = _read_state(spark, output, "exact_hashes", ["kh"], tag)
     return (
         within.withColumn("__kh", F.xxhash64("tokens"))
         .join(hist, F.col("__kh") == hist["kh"], "leftanti")
@@ -496,11 +521,17 @@ def _delta_dedup_exact(spark, seq, output, p):
     )
 
 
-def _delta_dedup_near(spark, seq, output, p, max_bucket: int = 20):
+def _delta_dedup_near(spark, seq, output, p, tag=None, max_bucket: int = 20):
     # within-delta candidate pairs (verified) + cross history pairs
     pairs_d = dd.minhash_lsh_pairs(seq, threshold=p.near_threshold)
     db = dd.band_table(seq)
-    hb = _read_state(spark, output, "near_bands", ["doc_id", "band"])
+    hb = _read_state(spark, output, "near_bands", ["doc_id", "band"], tag)
+    # prune history bands to the delta's band set BEFORE the cap window:
+    # only bands present in the delta can produce candidates, so the
+    # per-band counts of surviving bands are unchanged, and the cap
+    # window's O(history) shuffle shrinks to the delta's band
+    # neighborhood (the band set is delta-sized → broadcast semi-join)
+    hb = hb.join(F.broadcast(db.select("band").distinct()), "band", "leftsemi")
     cap = lambda t: (  # noqa: E731 — per-side mega-bucket cap, as batch
         t.withColumn("__bn", F.count(F.lit(1)).over(
             Window.partitionBy("band")))
@@ -511,9 +542,10 @@ def _delta_dedup_near(spark, seq, output, p, max_bucket: int = 20):
         .join(cap(hb).withColumnRenamed("doc_id", "id_a"), "band")
         .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     )
-    hist_sh = _read_state(spark, output, "near_docs", ["doc_id", "tokens"]) \
-        .select(F.col("doc_id").alias("id_a"),
-                dd.shingles_expr(F.col("tokens")).alias("sh_a"))
+    # history shingles are STORED state columns (r6) — no fold, no
+    # O(history) compute; the candidate join decides which rows are read
+    hist_sh = _read_state(spark, output, "near_docs", ["doc_id", "sh"], tag) \
+        .select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     delta_sh = seq.select(F.col("doc_id").alias("id_b"),
                           dd.shingles_expr(F.col("tokens")).alias("sh_b"))
     pairs_x = (
@@ -541,7 +573,7 @@ def _delta_dedup_near(spark, seq, output, p, max_bucket: int = 20):
     return seq.join(survivors, "doc_id", "leftsemi")
 
 
-def _delta_importance(spark, seq, output, p):
+def _delta_importance(spark, seq, output, p, tag=None):
     if not p.target_sources or p.importance_keep >= 1.0:
         return seq
     meta_p = os.path.join(output, STATE_DIR, "iw_meta.json")
@@ -554,7 +586,7 @@ def _delta_importance(spark, seq, output, p):
     # frozen LM: score delta docs with the BASE run's per-bucket weights,
     # frozen cutoff; a bucket the base corpus never saw takes the add-1
     # smoothed count-0/count-0 weight (meta default_w), not 0
-    w = _read_state(spark, output, "iw_weights", ["h", "w"])
+    w = _read_state(spark, output, "iw_weights", ["h", "w"], tag)
     big = seq.filter(F.size("tokens") >= 2).select(
         "doc_id", F.explode(sel.bigram_hash_expr(F.col("tokens"))).alias("h"))
     iw = (
@@ -571,11 +603,11 @@ def _delta_importance(spark, seq, output, p):
     )
 
 
-def _delta_mixture(spark, seq, output, p):
+def _delta_mixture(spark, seq, output, p, tag=None):
     if not p.mixture:
         return seq
     rates = _read_state(spark, output, "mixture_rates",
-                        ["source", "toks", "mn"])
+                        ["source", "toks", "mn"], tag)
     j = seq.join(F.broadcast(rates), "source", "left")
     keep = (
         F.col("toks").isNull()  # source unseen at base time → keep all
@@ -584,11 +616,11 @@ def _delta_mixture(spark, seq, output, p):
     return j.filter(keep).drop("toks", "mn")
 
 
-def _delta_pack(spark, seq, output, p):
+def _delta_pack(spark, seq, output, p, tag=None):
     from metarank_spark.plans.prefix import salted_cumulative_sum
 
     base = (
-        _read_state(spark, output, "pack_offsets", ["source", "toks_added"])
+        _read_state(spark, output, "pack_offsets", ["source", "toks_added"], tag)
         .groupBy("source")
         .agg(F.sum("toks_added").cast("long").alias("base_off"))
     )
@@ -610,16 +642,16 @@ def _delta_pack(spark, seq, output, p):
 
 
 DELTA_STAGES = (
-    ("tokenize", lambda sp, s, o, p: _stage_tokenize(s, p),
+    ("tokenize", lambda sp, s, o, p, t: _stage_tokenize(s, p),
      lambda p: {}),
     ("dedup_exact", _delta_dedup_exact,
      lambda p: {}),
     ("dedup_near", _delta_dedup_near,
      lambda p: {"threshold": p.near_threshold}),
-    ("quality", lambda sp, s, o, p: _stage_quality(s, p),
+    ("quality", lambda sp, s, o, p, t: _stage_quality(s, p),
      lambda p: {"min_tokens": p.min_tokens, "min_quality": p.min_quality,
                 "max_rep": p.max_rep, "langs": list(p.langs)}),
-    ("decontaminate", lambda sp, s, o, p: _stage_decontaminate(s, p),
+    ("decontaminate", lambda sp, s, o, p, t: _stage_decontaminate(s, p),
      lambda p: {"benchmark_ids": list(p.benchmark_ids)}),
     ("importance", _delta_importance,
      lambda p: {"targets": list(p.target_sources),
@@ -673,11 +705,11 @@ def curate_delta(
                 frame, lazy = spark.read.parquet(spath), False
             else:
                 frame, lazy = _barriered(frame, lazy, name)
-                frame, lazy = fn(spark, frame, output, p), True
+                frame, lazy = fn(spark, frame, output, p, tag), True
             continue
         t0 = time.perf_counter()
         frame, lazy = _barriered(frame, lazy, name)
-        frame, lazy = fn(spark, frame, output, p), True
+        frame, lazy = fn(spark, frame, output, p, tag), True
         stats = {"rows": None, "toks": None}
         if materialize:
             frame.write.mode("overwrite").parquet(spath)
@@ -701,8 +733,7 @@ def curate_delta(
     exact = spark.read.parquet(os.path.join(base_out, "dedup_exact"))
     _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
              output, "exact_hashes", tag)
-    _publish(dd.band_table(exact), output, "near_bands", tag)
-    _publish(exact.select("doc_id", "tokens"), output, "near_docs", tag)
+    _publish_near_state(exact, output, tag)
     packed = spark.read.parquet(os.path.join(base_out, "pack"))
     _publish(
         packed.groupBy("source").agg(
@@ -730,7 +761,7 @@ def curate_delta(
 _STATE_SCHEMAS = {
     "exact_hashes": "kh long",
     "near_bands": "doc_id string, band string",
-    "near_docs": "doc_id string, tokens array<int>",
+    "near_docs": "doc_id string, sh array<bigint>",
 }
 
 
@@ -760,12 +791,12 @@ def dedup_ingest_batch(
     ensure_dedup_state(spark, output)
     seq = _stage_tokenize(docs, p)
     exact = _delta_dedup_exact(spark, seq.localCheckpoint(eager=False),
-                               output, p)
+                               output, p, f"b{tag}")
     bdir = os.path.join(output, "stream", f"batch={tag}")
     epath = os.path.join(bdir, "dedup_exact")
     exact.write.mode("overwrite").parquet(epath)
     exact = spark.read.parquet(epath)
-    survivors = _delta_dedup_near(spark, exact, output, p)
+    survivors = _delta_dedup_near(spark, exact, output, p, f"b{tag}")
     spath = os.path.join(bdir, "survivors")
     survivors.write.mode("overwrite").parquet(spath)
     # fold exact-survivors (near-dups included: batch connected
@@ -774,7 +805,5 @@ def dedup_ingest_batch(
     # arrivals)
     _publish(exact.select(F.xxhash64("tokens").alias("kh")).distinct(),
              output, "exact_hashes", f"b{tag}")
-    _publish(dd.band_table(exact), output, "near_bands", f"b{tag}")
-    _publish(exact.select("doc_id", "tokens"), output, "near_docs",
-             f"b{tag}")
+    _publish_near_state(exact, output, f"b{tag}")
     return spath

@@ -233,25 +233,26 @@ def bounded_list_string(
     (newest first). Semantics (MemBoundedList.scala:18-37): prepend, then
     keep elements with ts >= append.ts - duration, take(count).
 
-    Window form: the last ``count`` prior appends (rows frame), then a
-    vectorized time filter inside the array — exact because take(count)
-    only ever evicts the oldest elements, so the surviving set is always
-    a suffix-filter of the last-count appends (proof: eviction cutoffs are
-    monotone in append time).
-    """
+    Window form (r6 lag spelling): the list read at an append is the
+    current value plus the ``count - 1`` prior appends whose ts clears
+    the cutoff — exact because take(count) only ever evicts the oldest
+    elements, so the surviving set is always a suffix-filter of the
+    last-count appends (proof: eviction cutoffs are monotone in append
+    time). Spelled as per-offset ``lag`` columns + ``concat_ws`` rather
+    than a sliding ``collect_list`` + reverse/slice/filter/transform:
+    the lag frame is whole-stage-codegen while every array HOF is
+    interpreted, and no per-row struct array is materialized. concat_ws
+    skips nulls exactly where array_join did (a lag beyond the
+    partition start and an expired ts both read null)."""
     col = F.col(value) if isinstance(value, str) else value
-    w = (
-        Window.partitionBy(entity)
-        .orderBy(*ORDER)
-        .rowsBetween(-count, Window.currentRow)
-    )
-    items = F.collect_list(F.struct(F.col("ts_ms").alias("ts"), col.alias("v"))).over(w)
-    # newest first, include own append, time-filter vs the newest append ts
-    items = F.reverse(items)
-    items = F.slice(items, 1, count)
+    w = Window.partitionBy(entity).orderBy(*ORDER)
     cutoff = F.col("ts_ms") - F.lit(duration_ms)
-    kept = F.filter(items, lambda x: x["ts"] >= cutoff)
-    return df.withColumn(out, F.array_join(F.transform(kept, lambda x: x["v"]), sep))
+    parts = [col]  # own append: its ts is the cutoff anchor, always kept
+    for k in range(1, count):
+        parts.append(
+            F.when(F.lag("ts_ms", k).over(w) >= cutoff, F.lag(col, k).over(w))
+        )
+    return df.withColumn(out, F.concat_ws(sep, *parts))
 
 
 def stats_window(

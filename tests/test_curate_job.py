@@ -408,3 +408,73 @@ def test_curate_cli_fused_publish_state_forces_checkpoints(spark, tmp_path):
         raise AssertionError("expected ValueError for missing stages")
     except ValueError as e:
         assert "dedup_exact" in str(e) and "decontaminate" in str(e)
+
+
+def test_near_state_stores_shingles_probe_never_refolds(spark, tmp_path):
+    """r6 near-dedup state shape: near_docs stores SHINGLE-HASH arrays,
+    not raw tokens — the delta probe reads them as stored columns, so no
+    trigram fold can run over history (the confirmed O(history)-per-delta
+    defect). Proof is the schema: the history side has no tokens column
+    to fold, and the probe's scan of near_docs reads (doc_id, sh)."""
+    from metarank_spark.functions import dedup as dd
+    from metarank_spark.operators.curate import (
+        _delta_dedup_near, _stage_tokenize, curate, publish_state)
+
+    out = str(tmp_path / "c")
+    base = _docs(spark).filter(F.col("doc_id") < 250)
+    curate(spark, base, out, PARAMS)
+    publish_state(spark, out, PARAMS)
+    nd = spark.read.parquet(os.path.join(out, "_state", "near_docs"))
+    assert set(nd.columns) >= {"doc_id", "sh"} and "tokens" not in nd.columns
+    # stored shingles equal a fresh fold over the same docs
+    exact = spark.read.parquet(os.path.join(out, "dedup_exact"))
+    fresh = {
+        r["doc_id"]: r["sh"]
+        for r in exact.select(
+            "doc_id", dd.shingles_expr(F.col("tokens")).alias("sh")).collect()
+    }
+    stored = {r["doc_id"]: r["sh"] for r in nd.select("doc_id", "sh").collect()}
+    assert stored == fresh
+    # and the probe plan reads near_docs with ReadSchema (doc_id, sh) —
+    # nothing tokenize-shaped below the join on the history branch
+    delta = _stage_tokenize(_docs(spark).filter(F.col("doc_id") >= 250), PARAMS)
+    probe = _delta_dedup_near(spark, delta, out, PARAMS)
+    plan = probe._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    # the state relation is recognizable by its (doc_id, sh, delta)
+    # columns; it must carry NO tokens column for any fold to consume
+    scans = [
+        s for s in re.findall(r"Relation \[[^\]]*\] parquet", plan)
+        if "sh#" in s and "delta#" in s
+    ]
+    assert scans, plan
+    for s in scans:
+        assert "tokens" not in s, s
+
+
+def test_ingest_batch_replay_preserves_batch(spark, tmp_path):
+    """A foreachBatch REPLAY of the same batch tag (crash after the state
+    publish, before the streaming checkpoint commit) must converge to the
+    same survivors — the state probe excludes the batch's own delta=b<tag>
+    partitions, so the rerun does not mark every doc a duplicate of
+    itself and silently empty the batch."""
+    from metarank_spark.operators.curate import (
+        CurateParams, dedup_ingest_batch)
+
+    p = CurateParams(near_threshold=0.5)
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo", "s"),
+         (2, "alpha bravo charlie delta echo", "s"),      # exact dup of 1
+         (3, "alpha bravo charlie delta foxtrot", "s")],  # near dup of 1
+        "doc_id long, text string, source string")
+    out = str(tmp_path / "o")
+    sp = dedup_ingest_batch(spark, docs, out, p, "0")
+    first = {r["doc_id"] for r in spark.read.parquet(sp).select("doc_id").collect()}
+    assert first == {"1"}
+    # replay the SAME batch (same tag) after its state was published
+    sp2 = dedup_ingest_batch(spark, docs, out, p, "0")
+    second = {r["doc_id"] for r in spark.read.parquet(sp2).select("doc_id").collect()}
+    assert second == first
+    # state partition for the tag still holds the exact-survivors
+    hashes = spark.read.parquet(os.path.join(out, "_state", "exact_hashes"))
+    assert hashes.filter(F.col("delta") == "b0").count() > 0

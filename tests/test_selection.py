@@ -110,7 +110,11 @@ def test_selection_plan_shapes(spark):
     re-expanding the tokenize chain under each consumer)."""
     import __spark_entry__ as em
 
-    for name in ("importance_weight", "mixture_sample"):
+    # r6: importance_weight's scoring pass reads the materialized
+    # per-(doc, bucket) count table (the single-corpus-scan barrier), so
+    # its final plan holds ZERO parquet scans — the one scan lives in the
+    # checkpointed subtree; mixture_sample keeps its single direct scan
+    for name, scans in (("importance_weight", 0), ("mixture_sample", 1)):
         df = em.all_queries()[name](spark, SF_SMALL)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -118,4 +122,6 @@ def test_selection_plan_shapes(spark):
         assert "SortMergeJoin" not in plan, name
         assert "Window" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        assert final.count("FileScan parquet") == 1, name
+        assert final.count("FileScan parquet") == scans, name
+        if scans == 0:
+            assert "Scan ExistingRDD" in final, name

@@ -279,3 +279,22 @@ def test_tokenized_sequences_single_fold_and_cheap_ntok_pushdown(spark):
     filtered = seq.filter(F.col("n_tok") >= 2)
     plan = filtered._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("ascii(") == 1, plan
+
+
+def test_simhash_table_matches_expr(spark):
+    """The r6 explode+aggregate simhash must be bit-identical to the
+    per-row HOF expression on every real doc, including empty token
+    arrays (no exploded rows → rejoin as 0, the all-false majority)."""
+    from conftest import SF_SMALL
+
+    df = tx.tokenized_sequences(spark, SF_SMALL)
+    empty = spark.createDataFrame(
+        [("e0", [], 0, "s")], "doc_id string, tokens array<int>, n_tok int, source string")
+    df = df.unionByName(empty)
+    want = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dd.simhash_expr(F.col("tokens")).alias("sh")).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash_table(df).collect()}
+    assert got == want and got["e0"] == 0
