@@ -1,0 +1,134 @@
+"""Round-6 auxiliary benchmarks — NOT the driver metric (bench.py is
+frozen for measurement; this file exists so OPTIMIZATION_r06.md's claims
+outside the headline query set are reproducible).
+
+Sections (pick with --section, default runs all):
+
+- ``floor``: the event-pipeline hardware floor at the bench SF — scan
+  only, scan+exchange, scan+exchange+window — the guide-§1.3 yardstick
+  the sub-second event queries are judged against.
+- ``ingest_soak``: N micro-batches through dedup_ingest_batch with the
+  r6 shingle state, recording per-batch wall and state size per batch.
+  This is the VERDICT-r5 #1/#8 "done" evidence: per-batch cost must stay
+  flat (state folds grow, probe work must not — the O(history) shingle
+  fold is gone; what remains is the state scan, which grows only with
+  distinct survivors).
+
+Usage: SPARK_GRAFT_CPUS=32 python bench_extra.py [--section ingest_soak]
+Prints one JSON line per section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_floor(spark, sf_dir: str, repeats: int = 5) -> dict:
+    from metarank_spark.schema import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = {}
+    cases = {
+        "scan": ev,
+        "scan_exchange": ev.repartition("user_id"),
+        "scan_exchange_window": ev.select(
+            "event_id",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts_ms", "event_id"))
+            .alias("rn"),
+        ),
+    }
+    for name, df in cases.items():
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _noop(df)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def bench_ingest_soak(
+    spark, sf_dir: str, out_dir: str, n_batches: int = 20
+) -> dict:
+    """Slice the documents table into n_batches deterministic batches and
+    ingest them sequentially; per-batch wall + state row counts."""
+    from metarank_spark.operators.curate import (
+        CurateParams,
+        dedup_ingest_batch,
+    )
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    p = CurateParams(near_threshold=0.5)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    per = n_docs // n_batches
+    walls, state_rows = [], []
+    for b in range(n_batches):
+        lo, hi = b * per, (b + 1) * per if b < n_batches - 1 else n_docs
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        t0 = time.perf_counter()
+        dedup_ingest_batch(spark, batch, out_dir, p, str(b))
+        walls.append(round(time.perf_counter() - t0, 3))
+        state_rows.append(
+            spark.read.parquet(
+                os.path.join(out_dir, "_state", "near_docs")).count())
+    state_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(out_dir, "_state"))
+        for f in fs
+    )
+    half = n_batches // 2
+    return {
+        "n_batches": n_batches,
+        "docs_per_batch": per,
+        "walls_sec": walls,
+        "state_rows_after_each": state_rows,
+        "state_bytes_final": state_bytes,
+        "mean_wall_first_half": round(sum(walls[:half]) / half, 3),
+        "mean_wall_second_half": round(
+            sum(walls[half:]) / (n_batches - half), 3),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--section", default="all",
+                    choices=("all", "floor", "ingest_soak"))
+    ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/ingest_soak")
+    args = ap.parse_args()
+
+    from metarank_spark.session import get_spark
+
+    spark = get_spark("bench-extra", parallelism=args.cpus,
+                      shuffle_partitions=args.cpus)
+    if args.section in ("all", "floor"):
+        print(json.dumps({"section": "floor", "sf_dir": args.sf_dir,
+                          **bench_floor(spark, args.sf_dir)}))
+    if args.section in ("all", "ingest_soak"):
+        print(json.dumps({
+            "section": "ingest_soak", "sf_dir": args.sf_dir,
+            **bench_ingest_soak(spark, args.sf_dir, args.out,
+                                args.batches)}))
