@@ -62,13 +62,35 @@ def bench_floor(spark, sf_dir: str, repeats: int = 5) -> dict:
     return out
 
 
+def _state_file_part_counts(out_dir: str) -> tuple[int, int]:
+    files = parts = 0
+    for name in os.listdir(os.path.join(out_dir, "_state")):
+        tbl = os.path.join(out_dir, "_state", name)
+        if not os.path.isdir(tbl):
+            continue
+        for d in os.listdir(tbl):
+            if d.startswith("delta="):
+                parts += 1
+                files += len([f for f in os.listdir(os.path.join(tbl, d))
+                              if f.endswith(".parquet")])
+    return parts, files
+
+
 def bench_ingest_soak(
-    spark, sf_dir: str, out_dir: str, n_batches: int = 20
+    spark, sf_dir: str, out_dir: str, n_batches: int = 20,
+    compact_every: int = 0,
 ) -> dict:
     """Slice the documents table into n_batches deterministic batches and
-    ingest them sequentially; per-batch wall + state row counts."""
+    ingest them sequentially; per-batch wall + state row counts. With
+    ``compact_every`` > 0, run curate.compact_state after every K batches
+    (the jobs/ingest.py --compact-after analog) — the per-table partition
+    and file counts then stay bounded by K instead of growing linearly
+    with batch count, while per-batch wall and survivors are unchanged
+    (compaction preserves the state row multiset; probe-equality is
+    test-pinned in test_curate_job.py)."""
     from metarank_spark.operators.curate import (
         CurateParams,
+        compact_state,
         dedup_ingest_batch,
     )
 
@@ -79,7 +101,7 @@ def bench_ingest_soak(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
     per = n_docs // n_batches
-    walls, state_rows = [], []
+    walls, state_rows, part_counts, file_counts, compact_walls = [], [], [], [], []
     for b in range(n_batches):
         lo, hi = b * per, (b + 1) * per if b < n_batches - 1 else n_docs
         batch = docs.filter(
@@ -87,9 +109,16 @@ def bench_ingest_soak(
         t0 = time.perf_counter()
         dedup_ingest_batch(spark, batch, out_dir, p, str(b))
         walls.append(round(time.perf_counter() - t0, 3))
+        if compact_every and (b + 1) % compact_every == 0:
+            t0 = time.perf_counter()
+            compact_state(spark, out_dir)
+            compact_walls.append(round(time.perf_counter() - t0, 3))
         state_rows.append(
             spark.read.parquet(
                 os.path.join(out_dir, "_state", "near_docs")).count())
+        parts, files = _state_file_part_counts(out_dir)
+        part_counts.append(parts)
+        file_counts.append(files)
     state_bytes = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(os.path.join(out_dir, "_state"))
@@ -99,8 +128,12 @@ def bench_ingest_soak(
     return {
         "n_batches": n_batches,
         "docs_per_batch": per,
+        "compact_every": compact_every,
         "walls_sec": walls,
+        "compact_walls_sec": compact_walls,
         "state_rows_after_each": state_rows,
+        "state_partitions_after_each": part_counts,
+        "state_files_after_each": file_counts,
         "state_bytes_final": state_bytes,
         "mean_wall_first_half": round(sum(walls[:half]) / half, 3),
         "mean_wall_second_half": round(
@@ -117,6 +150,7 @@ if __name__ == "__main__":
     ap.add_argument("--section", default="all",
                     choices=("all", "floor", "ingest_soak"))
     ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--compact-every", type=int, default=0)
     ap.add_argument("--out", default="/tmp/ingest_soak")
     args = ap.parse_args()
 
@@ -131,4 +165,4 @@ if __name__ == "__main__":
         print(json.dumps({
             "section": "ingest_soak", "sf_dir": args.sf_dir,
             **bench_ingest_soak(spark, args.sf_dir, args.out,
-                                args.batches)}))
+                                args.batches, args.compact_every)}))

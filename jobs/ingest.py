@@ -25,6 +25,7 @@ environment, so the file source is the tested path."""
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 
@@ -59,10 +60,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--follow", action="store_true",
                     help="keep running (10s processing-time trigger) "
                          "instead of one availableNow drain")
+    ap.add_argument("--compact-after", action="store_true",
+                    help="after the drain completes (checkpoint "
+                         "committed), fold the accumulated _state "
+                         "delta=* partitions into one clustered "
+                         "partition per table (curate.compact_state); "
+                         "bounds the per-table partition-dir and file "
+                         "count that every probe must list and scan")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from metarank_spark.operators.curate import CurateParams
+    from metarank_spark.operators.curate import CurateParams, compact_state
     from metarank_spark.session import get_spark
     from metarank_spark.streaming.pipeline import (
         streaming_curate,
@@ -97,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+    if args.compact_after:
+        # safe here: the drain's checkpoint is committed, so no batch can
+        # replay against the partitions being folded (and compact_state
+        # keeps the newest partition out of the fold regardless)
+        stats = compact_state(spark, args.output)
+        print(json.dumps({"compacted": stats}))
     return 0
 
 

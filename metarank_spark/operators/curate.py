@@ -34,6 +34,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -811,3 +812,131 @@ def dedup_ingest_batch(
              output, "exact_hashes", f"b{tag}")
     _publish_near_state(exact, output, f"b{tag}")
     return spath
+
+
+# --------------------------------------------------------------------------
+# state maintenance: partition compaction
+# --------------------------------------------------------------------------
+#
+# Every delta / micro-batch adds a delta=<tag> partition to each state
+# table: a day of 1-minute triggers is ~1,440 partition dirs per table,
+# and the probe scans (and the filesystem lists) all of them. Compaction
+# is the Iceberg rewrite-data-files analog for the plain-parquet state:
+# fold the accumulated partitions into ONE partition of few, large,
+# probe-key-clustered files. Probe results are identical by construction
+# — _read_state unions partitions, and compaction preserves the exact
+# row multiset (only the `delta` tag value changes, which no probe reads
+# beyond the != exclude_tag guard; a compacted tag `c<hash>` can never
+# equal a running batch's `b<tag>`/delta tag).
+
+# probe key per table — compacted files are hash-clustered on it so a
+# key's rows live in one file (scan-pruned the moment the state moves to
+# a format with file-level key stats; with plain parquet the win is the
+# file count + row-group locality)
+_COMPACT_KEYS = {
+    "exact_hashes": "kh",
+    "near_bands": "band",
+    "near_docs": "doc_id",
+    "pack_offsets": "source",
+    "mixture_rates": "source",
+    "iw_weights": "h",
+}
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # guide §6 output file sizing
+
+
+def _part_dirs(tbl: str) -> list[str]:
+    if not os.path.isdir(tbl):
+        return []
+    return sorted(d for d in os.listdir(tbl)
+                  if d.startswith("delta=")
+                  and os.path.isdir(os.path.join(tbl, d)))
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(os.path.getsize(os.path.join(r, f))
+               for r, _, fs in os.walk(path) for f in fs)
+
+
+def _finish_compaction(tbl: str, marker: str) -> None:
+    """Complete a compaction whose intent marker exists: if the rewrite
+    committed (_SUCCESS), delete the remaining folded partitions; if it
+    did not, delete the partial target (sources are all intact — folds
+    are only deleted after commit) so the caller redoes the rewrite."""
+    with open(marker) as fh:
+        intent = json.load(fh)
+    into = os.path.join(tbl, f"delta={intent['into']}")
+    if os.path.exists(os.path.join(into, "_SUCCESS")):
+        for tag in intent["folded"]:
+            d = os.path.join(tbl, f"delta={tag}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    elif os.path.isdir(into):
+        shutil.rmtree(into)
+    os.remove(marker)
+
+
+def compact_state(
+    spark: SparkSession,
+    output: str,
+    tables: list[str] | None = None,
+    keep_latest: int = 1,
+) -> dict:
+    """Fold each state table's ``delta=*`` partitions into one compacted
+    partition of probe-key-clustered ~128 MB files. Maintenance job —
+    run it between ingest drains (jobs/ingest.py --compact-after does)
+    or on a schedule; it must not run concurrently with a probe (the
+    rewrite window briefly holds rows twice).
+
+    ``keep_latest`` newest partitions (by publish mtime) are NEVER
+    folded, default 1: a crashed-and-replayed micro-batch is by
+    construction the newest publisher, and its replay relies on
+    excluding its OWN partition from the probe (`delta != b<tag>`) —
+    folding it into the compacted base would resurrect the replay
+    self-probe bug through a partition the exclusion can no longer see.
+
+    Crash-safe via an intent marker per table: written before the
+    rewrite, removed after the folded partitions are deleted; recovery
+    either completes the deletions (rewrite committed) or removes the
+    partial rewrite (sources all intact). Idempotent — a second call
+    with unchanged state is a no-op."""
+    require_local_output(output)
+    state = os.path.join(output, STATE_DIR)
+    stats: dict[str, dict] = {}
+    if not os.path.isdir(state):
+        return stats
+    names = tables if tables is not None else sorted(
+        d for d in os.listdir(state) if os.path.isdir(os.path.join(state, d)))
+    for name in names:
+        tbl = os.path.join(state, name)
+        marker = os.path.join(state, f".compact_{name}.json")
+        if os.path.exists(marker):
+            _finish_compaction(tbl, marker)
+        parts = _part_dirs(tbl)
+        if keep_latest > 0:
+            newest = set(sorted(
+                parts, key=lambda d: os.path.getmtime(os.path.join(tbl, d))
+            )[-keep_latest:])
+            parts = [d for d in parts if d not in newest]
+        if len(parts) < 2:
+            stats[name] = {"folded": 0}
+            continue
+        tags = [d.split("=", 1)[1] for d in parts]
+        ctag = "c" + hashlib.sha1("|".join(sorted(tags)).encode()).hexdigest()[:8]
+        files_before = sum(
+            len([f for f in os.listdir(os.path.join(tbl, d))
+                 if f.endswith(".parquet")]) for d in parts)
+        src_bytes = sum(_dir_bytes(os.path.join(tbl, d)) for d in parts)
+        nfiles = max(1, -(-src_bytes // _COMPACT_TARGET_BYTES))
+        with open(marker, "w") as fh:
+            json.dump({"folded": tags, "into": ctag}, fh)
+        df = (spark.read.parquet(tbl)
+              .filter(F.col("delta").isin(tags)).drop("delta"))
+        key = _COMPACT_KEYS.get(name)
+        df = df.repartition(nfiles, key) if key else df.repartition(nfiles)
+        _publish(df, output, name, ctag)
+        for tag in tags:
+            shutil.rmtree(os.path.join(tbl, f"delta={tag}"))
+        os.remove(marker)
+        stats[name] = {"folded": len(tags), "into": ctag,
+                       "files_before": files_before, "files_after": nfiles}
+    return stats

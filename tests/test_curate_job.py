@@ -478,3 +478,130 @@ def test_ingest_batch_replay_preserves_batch(spark, tmp_path):
     # state partition for the tag still holds the exact-survivors
     hashes = spark.read.parquet(os.path.join(out, "_state", "exact_hashes"))
     assert hashes.filter(F.col("delta") == "b0").count() > 0
+
+
+def _ingest_state_rows(spark, out):
+    return {
+        name: sorted(map(tuple, spark.read.parquet(
+            os.path.join(out, "_state", name)).drop("delta").collect()))
+        for name in ("exact_hashes", "near_bands", "near_docs")
+    }
+
+
+def test_compact_state_preserves_probe_results(spark, tmp_path):
+    """compact_state folds the accumulated delta=* partitions into ONE
+    clustered partition per table without changing a single state row —
+    so a batch ingested against compacted state yields exactly the
+    survivors it would against the sprawled state."""
+    import shutil
+
+    from metarank_spark.operators.curate import (
+        CurateParams, compact_state, dedup_ingest_batch)
+
+    p = CurateParams(near_threshold=0.5)
+    docs = _docs(spark).filter(F.col("doc_id") < 120)
+    out_a = str(tmp_path / "sprawl")
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * 40) & (F.col("doc_id") < (b + 1) * 40))
+        dedup_ingest_batch(spark, batch, out_a, p, str(b))
+    out_b = str(tmp_path / "compacted")
+    shutil.copytree(out_a, out_b)
+    rows_before = _ingest_state_rows(spark, out_b)
+    # keep_latest=0: fold EVERYTHING (no in-flight batch in this test)
+    stats = compact_state(spark, out_b, keep_latest=0)
+    for name in ("exact_hashes", "near_bands", "near_docs"):
+        tbl = os.path.join(out_b, "_state", name)
+        parts = [d for d in os.listdir(tbl) if d.startswith("delta=")]
+        assert len(parts) == 1 and parts[0].startswith("delta=c"), parts
+        assert stats[name]["folded"] == 4  # bootstrap + 3 batches
+    # row multiset identical (only the delta tag value changed)
+    assert _ingest_state_rows(spark, out_b) == rows_before
+    # probe equality: the next batch survives identically on both states
+    probe = _docs(spark).filter(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 160))
+    sp_a = dedup_ingest_batch(spark, probe, out_a, p, "3")
+    sp_b = dedup_ingest_batch(spark, probe, out_b, p, "3")
+    surv_a = {r["doc_id"] for r in spark.read.parquet(sp_a).collect()}
+    surv_b = {r["doc_id"] for r in spark.read.parquet(sp_b).collect()}
+    assert surv_a == surv_b
+    # idempotent: nothing left to fold (compacted + the new b3 partition)
+    again = compact_state(spark, out_b, keep_latest=1)
+    assert all(s["folded"] == 0 for s in again.values())
+
+
+def test_compact_state_keep_latest_preserves_replay(spark, tmp_path):
+    """The replay-safety contract survives compaction: keep_latest=1
+    (the default) never folds the newest partition, so a crashed batch
+    replayed AFTER a compaction ran still excludes its own state rows
+    and converges to the same survivors."""
+    from metarank_spark.operators.curate import (
+        CurateParams, compact_state, dedup_ingest_batch)
+
+    p = CurateParams(near_threshold=0.5)
+    base = spark.createDataFrame(
+        [(10, "golf hotel india juliet kilo", "s")],
+        "doc_id long, text string, source string")
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo", "s"),
+         (2, "alpha bravo charlie delta echo", "s"),      # exact dup of 1
+         (3, "alpha bravo charlie delta foxtrot", "s")],  # near dup of 1
+        "doc_id long, text string, source string")
+    out = str(tmp_path / "o")
+    dedup_ingest_batch(spark, base, out, p, "0")
+    sp = dedup_ingest_batch(spark, docs, out, p, "1")
+    first = {r["doc_id"] for r in spark.read.parquet(sp).collect()}
+    assert first == {"1"}
+    # maintenance runs between the state publish and the (crashed)
+    # checkpoint commit: b1's partitions are the newest → stay unfolded
+    compact_state(spark, out)
+    hashes = os.path.join(out, "_state", "exact_hashes")
+    assert any(d == "delta=b1" for d in os.listdir(hashes))
+    sp2 = dedup_ingest_batch(spark, docs, out, p, "1")
+    second = {r["doc_id"] for r in spark.read.parquet(sp2).collect()}
+    assert second == first
+
+
+def test_compact_state_crash_recovery(spark, tmp_path):
+    """Intent-marker recovery: a marker with a committed rewrite
+    (_SUCCESS present) finishes the source deletions; a marker with an
+    uncommitted rewrite removes the partial target and redoes the fold —
+    either way the final row multiset is the uncompacted one."""
+    import json as _json
+    import shutil
+
+    from metarank_spark.operators.curate import (
+        CurateParams, compact_state, dedup_ingest_batch)
+
+    p = CurateParams(near_threshold=0.5)
+    docs = _docs(spark).filter(F.col("doc_id") < 80)
+    out = str(tmp_path / "o")
+    for b in range(2):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * 40) & (F.col("doc_id") < (b + 1) * 40))
+        dedup_ingest_batch(spark, batch, out, p, str(b))
+    rows_before = _ingest_state_rows(spark, out)
+    # crash case 1: marker written, rewrite NOT committed (partial dir)
+    tbl = os.path.join(out, "_state", "exact_hashes")
+    parts = sorted(d.split("=", 1)[1] for d in os.listdir(tbl)
+                   if d.startswith("delta="))
+    partial = os.path.join(tbl, "delta=cdeadbeef")
+    os.makedirs(partial)  # no _SUCCESS → uncommitted
+    with open(os.path.join(out, "_state", ".compact_exact_hashes.json"),
+              "w") as fh:
+        _json.dump({"folded": parts, "into": "cdeadbeef"}, fh)
+    compact_state(spark, out, keep_latest=0)
+    assert not os.path.isdir(partial)  # partial rewrite removed
+    assert _ingest_state_rows(spark, out) == rows_before
+    # crash case 2: rewrite committed, source deletions unfinished —
+    # simulate by re-creating the marker for the ALREADY-compacted table
+    # (its single c-partition stands in for the committed rewrite; the
+    # listed folded tags are gone, so recovery just clears the marker)
+    cpart = [d for d in os.listdir(tbl) if d.startswith("delta=c")][0]
+    with open(os.path.join(out, "_state", ".compact_exact_hashes.json"),
+              "w") as fh:
+        _json.dump({"folded": parts, "into": cpart.split("=", 1)[1]}, fh)
+    compact_state(spark, out, keep_latest=0)
+    assert not os.path.exists(
+        os.path.join(out, "_state", ".compact_exact_hashes.json"))
+    assert _ingest_state_rows(spark, out) == rows_before

@@ -914,6 +914,41 @@ def test_ingest_job_cli_drains_and_resumes(spark, tmp_path):
         "batch=0", "batch=1"]
 
 
+def test_ingest_job_cli_compact_after(spark, tmp_path):
+    """jobs/ingest.py --compact-after: after the drain's checkpoint
+    commits, the accumulated _state delta partitions fold into one
+    compacted partition (+ the kept-newest one); the next drain still
+    dedups against the full history."""
+    import os
+
+    import jobs.ingest as ji
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "cur")
+    for i, text in enumerate(["alpha bravo charlie delta echo",
+                              "golf hotel india juliet kilo"]):
+        spark.createDataFrame([(i, text, "s")],
+                              "doc_id long, text string, source string"
+                              ).coalesce(1).write.mode("append").parquet(src)
+        assert ji.main(["--source", src, "--output", out,
+                        "--near-threshold", "0.5"]) == 0
+    # bootstrap + b0 + b1 partitions → compact (keeps the newest)
+    assert ji.main(["--source", src, "--output", out,
+                    "--near-threshold", "0.5", "--compact-after"]) == 0
+    tbl = os.path.join(out, "_state", "exact_hashes")
+    parts = sorted(d for d in os.listdir(tbl) if d.startswith("delta="))
+    assert len(parts) == 2 and parts[1].startswith("delta=c"), parts
+    # history still dedups: an exact dup of batch-0 content is dropped
+    spark.createDataFrame([(9, "alpha bravo charlie delta echo", "s")],
+                          "doc_id long, text string, source string"
+                          ).coalesce(1).write.mode("append").parquet(src)
+    assert ji.main(["--source", src, "--output", out,
+                    "--near-threshold", "0.5"]) == 0
+    b2 = spark.read.parquet(os.path.join(out, "stream", "batch=2",
+                                         "survivors"))
+    assert {r["doc_id"] for r in b2.select("doc_id").collect()} == set()
+
+
 def test_streaming_full_curate_equals_delta_chain(spark, tmp_path):
     """jobs/ingest.py --full: micro-batches through the stream produce
     byte-identical delta outputs (same directories, same packs with
