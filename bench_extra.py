@@ -141,6 +141,69 @@ def bench_ingest_soak(
     }
 
 
+def bench_bpe_scale(spark, n_docs: int = 20000, words_per_doc: int = 200,
+                    rank_space: int = 200000, n_merges: int = 48) -> dict:
+    """BPE at realistic vocabulary scale (VERDICT-r5 #5): a synthetic
+    zipf-ish corpus with >=10^5 DISTINCT words (word rank drawn
+    log-uniformly — density ~1/rank, the zipf s=1 shape — from a
+    deterministic per-(doc,pos) hash), train n_merges merges, then
+    encode with the broadcast path AND the broadcast=False fallback
+    under autoBroadcastJoinThreshold=-1. Reported: distinct-word count,
+    total/per-merge train wall (the vocab-bound claim: per-merge cost
+    tracks vocab rows x mean word length, not corpus tokens), and both
+    encode walls."""
+    import math
+
+    from metarank_spark.functions import bpe
+
+    # per-(doc,pos) word rank ~ exp(U * ln(rank_space)): log-uniform
+    # over [1, rank_space] — density ~1/rank
+    docs = (
+        spark.range(n_docs).toDF("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_doc)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.conv(F.floor(F.exp(
+                        (F.pmod(F.xxhash64(F.col("doc_id"), i),
+                                F.lit(1 << 20)) / F.lit(float(1 << 20)))
+                        * F.lit(math.log(rank_space))))
+                        .cast("string"), 10, 36)),
+            )).alias("text"),
+            F.lit("s").alias("source"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_distinct = bpe.word_counts(docs).count()
+    t0 = time.perf_counter()
+    merges = bpe.train_bpe(docs, n_merges=n_merges)
+    train_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(bpe.encode_bpe(docs, merges))
+    enc_bcast_s = round(time.perf_counter() - t0, 3)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        _noop(bpe.encode_bpe(docs, merges, broadcast=False))
+        enc_fallback_s = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return {
+        "n_docs": n_docs,
+        "word_instances": n_docs * words_per_doc,
+        "n_distinct_words": n_distinct,
+        "n_merges": len(merges),
+        "train_total_sec": train_s,
+        "train_per_merge_sec": round(train_s / max(1, len(merges)), 3),
+        "encode_broadcast_sec": enc_bcast_s,
+        "encode_fallback_noautobcast_sec": enc_fallback_s,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -148,7 +211,7 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--section", default="all",
-                    choices=("all", "floor", "ingest_soak"))
+                    choices=("all", "floor", "ingest_soak", "bpe_scale"))
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--compact-every", type=int, default=0)
     ap.add_argument("--out", default="/tmp/ingest_soak")
@@ -166,3 +229,6 @@ if __name__ == "__main__":
             "section": "ingest_soak", "sf_dir": args.sf_dir,
             **bench_ingest_soak(spark, args.sf_dir, args.out,
                                 args.batches, args.compact_every)}))
+    if args.section == "bpe_scale":
+        print(json.dumps({"section": "bpe_scale",
+                          **bench_bpe_scale(spark)}))

@@ -151,6 +151,7 @@ def encode_bpe(
     merges: list[tuple[int, int, int, int]],
     text: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Encode documents with a trained merge table:
     ``(doc_id, pieces array<long>, n_pieces)``.
@@ -158,8 +159,14 @@ def encode_bpe(
     Each DISTINCT word is encoded once (apply merges in rank order over
     its code points — a chain of n_merges HOF folds over short arrays),
     then documents join their word sequence to the encoded vocabulary.
-    The encoded-vocab side is broadcast: it is the corpus vocabulary,
-    orders of magnitude smaller than the corpus."""
+    The encoded-vocab side is broadcast by default: it is the corpus
+    vocabulary, orders of magnitude smaller than the corpus. When the
+    encoded vocab does NOT comfortably fit the driver/executors (10^8+
+    distinct words, or long piece arrays), pass ``broadcast=False``: the
+    hint is dropped and the join keys on ``word`` like any other
+    shuffled join (AQE still converts it back to a broadcast at runtime
+    when the built side measures small — fallback equality is pinned in
+    test_bpe.py under autoBroadcastJoinThreshold=-1)."""
     words = docs.select(
         F.col(id_col),
         F.posexplode(words_expr(text)).alias("pos", "word"),
@@ -179,7 +186,7 @@ def encode_bpe(
         if (new_id - MERGE_BASE) % 16 == 15:
             enc = enc.localCheckpoint(eager=False)
     return (
-        words.join(F.broadcast(enc), "word")
+        words.join(F.broadcast(enc) if broadcast else enc, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -140,6 +140,29 @@ def test_encode_vocab_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_encode_bpe_no_broadcast_fallback(spark):
+    """broadcast=False is the over-threshold-vocab escape hatch: the
+    forced hint is gone, the plan survives autoBroadcastJoinThreshold=-1
+    (no static broadcast possible at all), and the encoding is
+    identical to the broadcast path."""
+    docs = _docs(spark, limit=40)
+    merges = bpe.train_bpe(docs, n_merges=5)
+    want = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe.encode_bpe(docs, merges).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = bpe.encode_bpe(docs, merges, broadcast=False)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        got = {r["doc_id"]: list(r["pieces"]) for r in q.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
 # ---------- hypothesis: random corpora, distributed == reference ----------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
