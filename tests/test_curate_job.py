@@ -605,3 +605,59 @@ def test_compact_state_crash_recovery(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(out, "_state", ".compact_exact_hashes.json"))
     assert _ingest_state_rows(spark, out) == rows_before
+
+
+def test_fully_resumed_fused_run_rechains_nothing(spark, tmp_path, monkeypatch):
+    """ADVICE r5: a fully-resumed FUSED run used to re-execute the whole
+    upstream chain at re-chain time (_stage_importance's percentile
+    collect, _stage_mixture's eager totals checkpoint) even though the
+    resumed pack checkpoint replaces the frame. The resume now skips
+    re-chaining any fused stage whose chain nothing downstream consumes
+    — pinned by tripwiring every stage fn on the second run."""
+    from metarank_spark.operators import curate as cu
+
+    p = CurateParams(
+        min_tokens=3, pack_budget=64, mixture=True,
+        target_sources=("src0",), importance_keep=0.8,
+        checkpoint_stages=("dedup_exact",),
+    )
+    docs = _docs(spark).filter(F.col("doc_id") < 150)
+    out = str(tmp_path / "c")
+    first = cu.curate(spark, docs, out, p)
+    assert not any(m["resumed"] for m in first)
+
+    def _trip(stage):
+        def fn(*a, **k):
+            raise AssertionError(f"resumed fused run re-chained {stage}")
+        return fn
+
+    monkeypatch.setattr(
+        cu, "STAGES",
+        tuple((name, _trip(name), pf) for name, _, pf in cu.STAGES))
+    second = cu.curate(spark, docs, out, p)
+    assert [m["resumed"] for m in second] == [True] * len(first)
+
+
+def test_docs_fingerprint_covers_content(spark, tmp_path):
+    """The resume fingerprint hashes text and source, not just the id
+    set: editing a document's TEXT under an unchanged id must invalidate
+    every stage instead of silently resuming from stale parquet."""
+    from metarank_spark.operators.curate import _docs_fingerprint, curate
+
+    a = spark.createDataFrame(
+        [(1, "alpha bravo charlie", "s"), (2, "delta echo foxtrot", "s")],
+        "doc_id long, text string, source string")
+    b = spark.createDataFrame(
+        [(1, "alpha bravo charlie", "s"), (2, "delta echo CHANGED", "s")],
+        "doc_id long, text string, source string")
+    c = spark.createDataFrame(
+        [(1, "alpha bravo charlie", "s"), (2, "delta echo foxtrot", "t")],
+        "doc_id long, text string, source string")
+    fa, fb, fc = map(_docs_fingerprint, (a, b, c))
+    assert fa != fb and fa != fc and fb != fc
+    # end-to-end: re-running curate after a text edit recomputes
+    out = str(tmp_path / "c")
+    pr = CurateParams(min_tokens=1, pack_budget=64)
+    curate(spark, a, out, pr)
+    rerun = curate(spark, b, out, pr)
+    assert not any(m["resumed"] for m in rerun)
