@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from metarank_spark.functions.text import words_expr
 
-MERGE_BASE = 1_000_000  # > any unicode code point
+# 0x110000 = U+10FFFF + 1: strictly above EVERY code point. (The prior
+# 1_000_000 sat below planes 15-16, so merge ids could collide with
+# private-use code points and break the "merge table alone reconstructs
+# the vocabulary" invariant — r5 ADVICE.)
+MERGE_BASE = 0x110000
 
 
 def word_counts(docs: DataFrame, text: str = "text") -> DataFrame:
